@@ -200,7 +200,6 @@ def _join_block(
     hop2_old = _subsample_hop2(exp_old, ok_old, k2, hop2_old_samples)
 
     pool = jnp.concatenate([hop_new, hop2_new, hop2_old], axis=-1)  # [b, P]
-    pool = jnp.where(pool == row_ids[:, None], -1, pool)
 
     Q = X[row_ids]
     C = X[jnp.maximum(pool, 0)]
@@ -273,9 +272,13 @@ def init_random(state: NeighborState, X, key, n_extra: int, dist_rowwise):
     """Random-fill initialisation (reference: init_random, pynndescent_.py:193)."""
     n = X.shape[0]
     cand = jax.random.randint(key, (n, n_extra), 0, n, dtype=jnp.int32)
-    cand = jnp.where(cand == jnp.arange(n, dtype=jnp.int32)[:, None], -1, cand)
+    # the reference convention keeps each point as its own first neighbor
+    # (distance 0); seed it explicitly
+    self_ids = jnp.arange(n, dtype=jnp.int32)[:, None]
+    cand = jnp.concatenate([self_ids, cand], axis=-1)
     d = dist_rowwise(X, X[jnp.maximum(cand, 0)])
     d = jnp.where(cand < 0, jnp.inf, d)
+    d = jnp.where(cand == self_ids, 0.0, d)
     state, _ = merge_candidates(state, cand, d)
     return state
 
@@ -365,8 +368,8 @@ def nn_descent(
     leaf_array=None,
     rp_tree_init: bool = True,
     block_rows: int = DEFAULT_BLOCK_ROWS,
-    hop2_new_samples: int = 2,
-    hop2_old_samples: int = 1,
+    hop2_new_samples: int | None = None,
+    hop2_old_samples: int | None = None,
     verbose: bool = False,
 ):
     """Full NN-descent driver (reference: nn_descent, pynndescent_.py:324).
@@ -380,12 +383,25 @@ def nn_descent(
         n_iters = max(5, int(round(np.log2(max(n, 2)))))
     if max_candidates is None:
         max_candidates = min(60, n_neighbors)
+    # two-hop budget: expanding ~max_candidates entries of each hop's table
+    # matches the reference local join's O(c^2)-pairs-per-row exploration
+    if hop2_new_samples is None:
+        hop2_new_samples = max_candidates
+    if hop2_old_samples is None:
+        hop2_old_samples = max(1, max_candidates // 2)
 
     dist_rowwise = _resolve_rowwise_metric(metric, metric_kwds)
 
     state = init_graph if init_graph is not None else make_neighbor_state(n, k)
     if leaf_array is not None and rp_tree_init:
-        state = init_from_leaf_array(state, X, leaf_array, dist_rowwise)
+        leaf_array = np.asarray(leaf_array)
+        if leaf_array.ndim == 2:
+            leaf_array = leaf_array[None]
+        leaf_init = jax.jit(
+            lambda st, la: init_from_leaf_array(st, X, la, dist_rowwise)
+        )
+        for t in range(leaf_array.shape[0]):  # one compile, reused per tree
+            state = leaf_init(state, jnp.asarray(leaf_array[t]))
     state = init_random(
         state, X, rng.derive(key, rng.ROLE_DESCENT_INIT), n_extra=k, dist_rowwise=dist_rowwise
     )
