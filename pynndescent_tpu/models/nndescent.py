@@ -1,0 +1,373 @@
+"""NNDescent index — the public API layer.
+
+Capability parity with the reference's ``NNDescent`` class
+(``pynndescent_.py:792-2553``): constructor surface, data-dependent defaults,
+fast-alternative metric substitution with final distance correction,
+RP-forest-seeded graph build, diversified/pruned search-graph preparation,
+epsilon-bounded queries, and (incrementally, across milestones) update(),
+compress_index(), pickling, quantization, and the sparse path.
+
+The orchestration is host Python; every hot stage is a jitted TPU program:
+forest build (ops.rp_trees), descent (ops.nndescent), diversification
+(ops.prune), and query search (models.search).
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pynndescent_tpu.ops import distances as dst
+from pynndescent_tpu.ops import nndescent as nnd_ops
+from pynndescent_tpu.ops import prune as prune_ops
+from pynndescent_tpu.ops import rp_trees
+from pynndescent_tpu.models import search as search_ops
+from pynndescent_tpu.utils import rng
+
+_ANGULAR_METRICS = (
+    "cosine",
+    "dot",
+    "correlation",
+    "dice",
+    "jaccard",
+    "hellinger",
+    "hamming",
+    "bit_hamming",
+    "bit_jaccard",
+)
+
+
+class NNDescent:
+    """TPU-native approximate nearest neighbor index (reference:
+    pynndescent_.py:976).
+
+    Parameters mirror the reference's constructor; TPU-specific tuning knobs
+    (block_rows, beam_width) are additive.
+    """
+
+    def __init__(
+        self,
+        data,
+        metric="euclidean",
+        metric_kwds=None,
+        n_neighbors=30,
+        n_trees=None,
+        leaf_size=None,
+        pruning_degree_multiplier=1.5,
+        diversify_prob=1.0,
+        n_search_trees=1,
+        tree_init=True,
+        init_graph=None,
+        init_dist=None,
+        random_state=None,
+        low_memory=True,
+        max_candidates=None,
+        max_rptree_depth=None,
+        n_iters=None,
+        delta=0.001,
+        n_jobs=None,
+        compressed=False,
+        parallel_batch_queries=False,
+        verbose=False,
+        *,
+        block_rows=nnd_ops.DEFAULT_BLOCK_ROWS,
+        beam_width=None,
+    ):
+        self.n_neighbors = n_neighbors
+        self.metric = metric
+        self.metric_kwds = dict(metric_kwds or {})
+        self.pruning_degree_multiplier = pruning_degree_multiplier
+        self.diversify_prob = diversify_prob
+        self.n_search_trees = n_search_trees
+        self.low_memory = low_memory
+        self.delta = delta
+        self.compressed = compressed
+        self.parallel_batch_queries = parallel_batch_queries
+        self.verbose = verbose
+        self.random_state = random_state
+        self.block_rows = block_rows
+        self.beam_width = beam_width
+
+        data = np.ascontiguousarray(np.asarray(data, dtype=np.float32))
+        if data.ndim == 1:
+            data = data.reshape(-1, 1)
+        n = data.shape[0]
+
+        # data-dependent defaults (reference pynndescent_.py:1009-1012, :1135)
+        if n_trees is None:
+            n_trees = rp_trees.default_n_trees(n)
+        if n_iters is None:
+            n_iters = max(5, int(round(np.log2(max(n, 2)))))
+        if max_candidates is None:
+            max_candidates = min(60, n_neighbors)
+        if leaf_size is None:
+            leaf_size = rp_trees.default_leaf_size(n_neighbors)
+        self.n_trees = n_trees
+        self.n_iters = n_iters
+        self.max_candidates = max_candidates
+        self.leaf_size = leaf_size
+        self.n_trees_after_update = max(2, int(round(n_trees / 3)))
+
+        self._angular_trees = metric in _ANGULAR_METRICS or (
+            callable(metric) and getattr(self, "angular_trees", False)
+        )
+
+        # metric resolution: substitute the order-preserving fast alternative
+        # for build/search; correct distances on output
+        # (reference _set_distance_func, pynndescent_.py:1271)
+        self._set_distance_func()
+
+        if metric == "dot":
+            norms = np.linalg.norm(data, axis=1, keepdims=True)
+            data = data / np.where(norms == 0.0, 1.0, norms)
+
+        self._raw_data = data
+        self._X = jnp.asarray(data)
+
+        self._key = rng.state_from_seed(random_state)
+
+        if init_graph is not None and tree_init:
+            tree_init = False
+        self.tree_init = tree_init and n_trees > 0
+
+        # ---- build ----
+        leaf_array = None
+        if self.tree_init:
+            if verbose:
+                print("Building RP forest with", n_trees, "trees")
+            leaf_array = rp_trees.make_forest_leaves(
+                self._X,
+                n_trees,
+                leaf_size,
+                rng.derive(self._key, rng.ROLE_FOREST),
+                angular=self._angular_trees,
+            )
+
+        init_state = None
+        if init_graph is not None:
+            from pynndescent_tpu.ops.neighbors import state_from_graph
+
+            init_graph = np.asarray(init_graph, np.int32)
+            if init_graph.shape[0] != n:
+                raise ValueError("Init graph size does not match dataset size")
+            if init_dist is None:
+                init_dist = self._bulk_self_distances(init_graph)
+            init_state = state_from_graph(
+                jnp.asarray(init_graph), jnp.asarray(init_dist), k=n_neighbors
+            )
+
+        if verbose:
+            print("NN descent for", n_iters, "iterations")
+        idx, dist_internal = nnd_ops.nn_descent(
+            self._X,
+            n_neighbors,
+            self._key,
+            metric=self._internal_metric,
+            metric_kwds=self._internal_metric_kwds,
+            n_iters=n_iters,
+            delta=delta,
+            max_candidates=max_candidates,
+            init_graph=init_state,
+            leaf_array=leaf_array,
+            block_rows=block_rows,
+            verbose=verbose,
+        )
+        self._neighbor_graph = (np.asarray(idx), np.asarray(dist_internal))
+
+        if np.any(self._neighbor_graph[0] < 0):
+            warnings.warn(
+                "Failed to correctly find n_neighbors for some samples. "
+                "Results may be less than ideal. Try re-running with "
+                "different parameters."
+            )
+
+        self._search_graph = None
+        self._search_tree = None
+        self._visited = None
+
+        if compressed:
+            self.prepare()
+            self.compress_index()
+
+    # ------------------------------------------------------------------
+    # metric plumbing
+    # ------------------------------------------------------------------
+
+    def _bulk_self_distances(self, idx):
+        fn = nnd_ops._resolve_rowwise_metric(self._internal_metric, self._internal_metric_kwds)
+        d = fn(self._X, self._X[jnp.maximum(jnp.asarray(idx), 0)])
+        return np.where(idx < 0, np.inf, np.asarray(d))
+
+    def _set_distance_func(self):
+        metric = self.metric
+        self._distance_correction = None
+        self._internal_metric_kwds = self.metric_kwds
+        if callable(metric):
+            self._internal_metric = metric
+        elif metric in dst.fast_distance_alternatives:
+            entry = dst.fast_distance_alternatives[metric]
+            self._internal_metric = entry["pairwise"] or entry["dist"]
+            self._distance_correction = entry["correction"]
+        elif metric in dst.named_distances:
+            self._internal_metric = metric
+        else:
+            raise ValueError(f"Metric '{metric}' not recognized")
+
+    @property
+    def neighbor_graph(self):
+        """(indices, distances) with corrected (true-metric) distances
+        (reference pynndescent_.py:2145)."""
+        if self._neighbor_graph is None:
+            warnings.warn("The index is compressed; neighbor graph is not available.")
+            return None
+        idx, d = self._neighbor_graph
+        if self._distance_correction is not None:
+            d = self._distance_correction(d)
+        return idx, np.asarray(d)
+
+    # ------------------------------------------------------------------
+    # prepare: diversified, degree-pruned search graph + search tree
+    # ------------------------------------------------------------------
+
+    def prepare(self):
+        """Build the search graph and tree (reference: prepare,
+        pynndescent_.py:2174 / _init_search_graph :1333)."""
+        if self._search_graph is not None:
+            return
+        idx, dist = self._neighbor_graph
+        n, k = idx.shape
+        row_ids = np.arange(n, dtype=np.int32)[:, None]
+
+        # forward diversify (self edges at distance ~0 never occlude and are
+        # dropped from the search graph rows below)
+        keep_fwd = prune_ops.diversify(
+            idx,
+            dist,
+            self._X,
+            self._internal_metric,
+            self._internal_metric_kwds,
+            prune_prob=self.diversify_prob,
+            key=None if self.diversify_prob >= 1.0 else rng.derive(self._key, rng.ROLE_SEARCH, 7),
+        )
+        fwd_idx = np.where(keep_fwd & (idx >= 0) & (idx != row_ids), idx, -1)
+        fwd_dist = np.where(fwd_idx >= 0, dist, np.inf).astype(np.float32)
+
+        # reverse rows (transpose of the diversified forward graph), capped
+        deg_max = max(1, int(round(self.pruning_degree_multiplier * self.n_neighbors)))
+        rev_idx, rev_dist = _transpose_padded(fwd_idx, fwd_dist, cap=max(2 * deg_max, 16))
+
+        keep_rev = prune_ops.diversify(
+            rev_idx,
+            rev_dist,
+            self._X,
+            self._internal_metric,
+            self._internal_metric_kwds,
+            prune_prob=self.diversify_prob,
+            key=None if self.diversify_prob >= 1.0 else rng.derive(self._key, rng.ROLE_SEARCH, 8),
+        )
+        rev_idx = np.where(keep_rev, rev_idx, -1)
+        rev_dist = np.where(rev_idx >= 0, rev_dist, np.inf).astype(np.float32)
+
+        # union forward + reverse per row, keep the deg_max closest
+        from pynndescent_tpu.ops.neighbors import make_neighbor_state, merge_candidates
+
+        state = make_neighbor_state(n, deg_max)
+        state, _ = merge_candidates(state, jnp.asarray(fwd_idx), jnp.asarray(fwd_dist))
+        state, _ = merge_candidates(state, jnp.asarray(rev_idx), jnp.asarray(rev_dist))
+        adj = np.asarray(state.idx)
+        adj_dist = np.asarray(state.dist)
+
+        finite = adj_dist[np.isfinite(adj_dist)]
+        self._min_distance = float(finite.min()) if finite.size else 0.0
+
+        self._search_graph = jnp.asarray(adj)
+
+        # search tree (reference builds a graph-informed hub tree,
+        # rp_trees.py:1233; plain RP tree fallback :1354-1373 — hub variant
+        # is a planned upgrade)
+        seed = int(
+            np.asarray(
+                jax.random.randint(
+                    rng.derive(self._key, rng.ROLE_SEARCH, 1), (), 0, np.iinfo(np.int32).max
+                )
+            )
+        )
+        tree = rp_trees.flatten_search_tree(
+            self._X,
+            seed,
+            leaf_size=max(self.leaf_size, self.n_neighbors),
+            angular=self._angular_trees,
+        )
+        self._search_tree = tree.to_arrays()
+
+    # ------------------------------------------------------------------
+    # query
+    # ------------------------------------------------------------------
+
+    def query(self, query_data, k=10, epsilon=0.1):
+        """k nearest neighbors of each query point (reference: query,
+        pynndescent_.py:2275). Returns (indices, distances)."""
+        self.prepare()
+        q = np.ascontiguousarray(np.asarray(query_data, np.float32))
+        if q.ndim == 1:
+            q = q.reshape(1, -1)
+        if self.metric in ("cosine", "dot"):
+            norms = np.linalg.norm(q, axis=1, keepdims=True)
+            q = q / np.where(norms == 0.0, 1.0, norms)
+
+        dist_rowwise = nnd_ops._resolve_rowwise_metric(
+            self._internal_metric, self._internal_metric_kwds
+        )
+        beam = self.beam_width or max(2 * k, 32)
+        idx, d = search_ops.search(
+            q,
+            self._X,
+            self._search_graph,
+            self._search_tree,
+            rng.derive(self._key, rng.ROLE_SEARCH, 2),
+            k=k,
+            epsilon=epsilon,
+            min_distance=self._min_distance,
+            beam_width=beam,
+            dist_rowwise=dist_rowwise,
+        )
+        if self._distance_correction is not None:
+            d = self._distance_correction(d)
+        return idx, d
+
+    # ------------------------------------------------------------------
+
+    def compress_index(self):
+        """Drop build-side structures to shrink the serialized index
+        (reference pynndescent_.py:2160)."""
+        self.prepare()
+        self.compressed = True
+        self._neighbor_graph = None
+
+
+def _transpose_padded(fwd_idx, fwd_dist, cap):
+    """Reverse adjacency rows, capped at ``cap`` smallest-distance in-edges,
+    padded with -1 (host; the reference materialises a CSR transpose,
+    pynndescent_.py:1549)."""
+    n, k = fwd_idx.shape
+    src = np.repeat(np.arange(n, dtype=np.int32), k)
+    tgt = fwd_idx.reshape(-1)
+    d = fwd_dist.reshape(-1)
+    ok = tgt >= 0
+    src, tgt, d = src[ok], tgt[ok], d[ok]
+    order = np.lexsort((d, tgt))
+    src, tgt, d = src[order], tgt[order], d[order]
+    # rank within each target group
+    first = np.searchsorted(tgt, np.arange(n))
+    counts = np.diff(np.append(first, len(tgt)))
+    rank = np.arange(len(tgt)) - np.repeat(first, counts)
+    keep = rank < cap
+    rev_idx = np.full((n, cap), -1, np.int32)
+    rev_dist = np.full((n, cap), np.inf, np.float32)
+    rev_idx[tgt[keep], rank[keep]] = src[keep]
+    rev_dist[tgt[keep], rank[keep]] = d[keep]
+    return rev_idx, rev_dist

@@ -1,0 +1,181 @@
+"""Epsilon-bounded graph search — lockstep batched beam formulation.
+
+Capability parity with the reference's compiled search closures
+(``pynndescent_.py:1664-2143``): tree-descent seeding, random fill, and a
+best-first traversal of the diversified search graph with the adaptive bound
+``d_k + epsilon * (d_k - min_distance)`` (reference :1850-1852, :1873-1875).
+
+TPU shape: the reference expands one vertex at a time per query from a
+``heapq`` seed set with a per-point visited bitmask. Here a whole *batch* of
+queries steps in lockstep:
+
+* per-query state is one sorted array of ``beam_width`` (distance, id,
+  unexpanded) entries — the result top-k and the seed set unified;
+* each step every active query expands its best unexpanded vertex: one
+  gather of the padded adjacency row, one batched distance tile against the
+  queries, one sort-dedup-topk merge back into the beam;
+* the merge's duplicate suppression doubles as the visited set — a vertex
+  already in the beam is never re-inserted, so never re-expanded. (A vertex
+  evicted from the beam can be revisited — wasted work, never wrong results.)
+
+``lax.while_loop`` runs until no query has an unexpanded entry under its
+bound, with per-query masking — exactly the reference's stopping rule, in
+lockstep.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pynndescent_tpu.ops.neighbors import NeighborState, make_neighbor_state, merge_candidates
+from pynndescent_tpu.ops.rp_trees import descend_tree
+
+
+def _bound(dist_k, epsilon, min_distance):
+    return dist_k + epsilon * (dist_k - min_distance)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "beam_width", "dist_rowwise", "max_steps", "leaf_max", "tree_depth", "tree_angular"),
+)
+def search_block(
+    queries,  # [q, d] (already normalized if required)
+    X,  # [n, d] index data
+    adj,  # [n, deg_max] padded search-graph adjacency, -1 padding
+    tree,  # dict of flat-tree arrays (or None)
+    key,
+    *,
+    k: int,
+    epsilon: float,
+    min_distance: float,
+    beam_width: int,
+    dist_rowwise,
+    max_steps: int,
+    leaf_max: int,
+    tree_depth: int,
+    tree_angular: bool = False,
+):
+    q = queries.shape[0]
+    n = X.shape[0]
+    k_coin, k_rand = jax.random.split(key)
+
+    # ---- seed: tree leaf members + random fill (reference :1821-1847) ----
+    cands = []
+    if tree is not None:
+        coins = jax.random.bits(k_coin, (q,), jnp.uint32)
+        lo, hi = descend_tree(tree, X, queries, coins, tree_depth, tree_angular)
+        offs = lo[:, None] + jnp.arange(leaf_max, dtype=jnp.int32)[None, :]
+        seed_ids = jnp.where(
+            offs < hi[:, None], tree["tree_order"][jnp.minimum(offs, n - 1)], -1
+        )
+        cands.append(seed_ids)
+    rand_ids = jax.random.randint(k_rand, (q, k), 0, n, dtype=jnp.int32)
+    cands.append(rand_ids)
+    cand = jnp.concatenate(cands, axis=-1)
+
+    d = dist_rowwise(queries, X[jnp.maximum(cand, 0)])
+    d = jnp.where(cand < 0, jnp.inf, d)
+
+    state = make_neighbor_state(q, beam_width)
+    state, _ = merge_candidates(state, cand, d)  # inserted flag=True: unexpanded
+
+    rows = jnp.arange(q, dtype=jnp.int32)
+
+    def get_bound(st):
+        return _bound(st.dist[:, k - 1], epsilon, min_distance)
+
+    def cond(carry):
+        st, steps = carry
+        bound = get_bound(st)
+        active = st.flag & (st.dist < bound[:, None])
+        return jnp.any(active) & (steps < max_steps)
+
+    def body(carry):
+        st, steps = carry
+        bound = get_bound(st)
+        masked = jnp.where(st.flag, st.dist, jnp.inf)
+        pos = jnp.argmin(masked, axis=1)
+        vdist = masked[rows, pos]
+        do = vdist < bound
+        v = jnp.where(do, st.idx[rows, pos], 0)
+        flag = st.flag.at[rows, pos].set(jnp.where(do, False, st.flag[rows, pos]))
+        st = st._replace(flag=flag)
+
+        nbrs = adj[v]  # [q, deg_max]
+        nbrs = jnp.where(do[:, None], nbrs, -1)
+        nd = dist_rowwise(queries, X[jnp.maximum(nbrs, 0)])
+        nd = jnp.where(nbrs < 0, jnp.inf, nd)
+        st, _ = merge_candidates(st, nbrs, nd)
+        return st, steps + 1
+
+    state, steps = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return state.idx[:, :k], state.dist[:, :k], steps
+
+
+def search(
+    queries,
+    X,
+    adj,
+    tree,
+    key,
+    *,
+    k: int,
+    epsilon: float = 0.1,
+    min_distance: float = 0.0,
+    beam_width: int | None = None,
+    dist_rowwise=None,
+    max_steps: int | None = None,
+    batch_size: int = 1024,
+):
+    """Batched driver over query blocks (pads the final block so one compiled
+    program serves any query count)."""
+    queries = jnp.asarray(queries)
+    nq = queries.shape[0]
+    if beam_width is None:
+        beam_width = max(2 * k, 32)
+    beam_width = max(beam_width, k)
+    if max_steps is None:
+        max_steps = int(X.shape[0])
+    leaf_max = 0
+    tree_depth = 0
+    tree_dev = None
+    if tree is not None:
+        tree_depth = int(tree["depth"])
+        leaf_max = int(np.max(np.asarray(tree["leaf_hi"]) - np.asarray(tree["leaf_lo"])))
+        tree_dev = {
+            kk: jnp.asarray(vv)
+            for kk, vv in tree.items()
+            if kk not in ("depth", "angular")
+        }
+
+    out_idx, out_dist = [], []
+    b = min(batch_size, nq)
+    for s in range(0, nq, b):
+        e = min(s + b, nq)
+        blk = queries[s:e]
+        if e - s < b:
+            blk = jnp.pad(blk, ((0, b - (e - s)), (0, 0)))
+        idx, dist, _ = search_block(
+            blk,
+            X,
+            adj,
+            tree_dev,
+            jax.random.fold_in(key, s),
+            k=k,
+            epsilon=epsilon,
+            min_distance=float(min_distance),
+            beam_width=int(beam_width),
+            dist_rowwise=dist_rowwise,
+            max_steps=int(max_steps),
+            leaf_max=leaf_max,
+            tree_depth=tree_depth,
+            tree_angular=bool(tree["angular"]) if tree is not None else False,
+        )
+        out_idx.append(np.asarray(idx)[: e - s])
+        out_dist.append(np.asarray(dist)[: e - s])
+    return np.concatenate(out_idx, 0), np.concatenate(out_dist, 0)

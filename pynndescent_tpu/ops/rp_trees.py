@@ -199,6 +199,209 @@ def leaf_arrays_from_order(order, start, size):
     return leaves
 
 
+# ---------------------------------------------------------------------------
+# Flat search tree (query seeding)
+# ---------------------------------------------------------------------------
+#
+# The reference flattens its recursive trees into contiguous arrays for search
+# (convert_tree_format, rp_trees.py:3019; leaves encoded as negated index
+# ranges :2929-2934). Here the flat form is built directly from per-level
+# snapshots of the node-location encoding; instead of storing d-dimensional
+# hyperplanes per node we store only the two anchor *point ids* — the
+# hyperplane is recomputed from two data gathers at query time, which costs
+# O(d) per visited node but keeps the tree O(n_nodes) in memory.
+
+
+class FlatTree:
+    """Array-encoded RP tree for query descent.
+
+    a_pt, b_pt i32[n_nodes] — anchor points defining the node's hyperplane
+    child      i32[n_nodes, 2] — left/right children (leaves self-loop)
+    leaf_lo/hi i32[n_nodes] — leaf slice into tree_order (-1 for internal)
+    tree_order i32[n] — points grouped by leaf
+    """
+
+    def __init__(self, a_pt, b_pt, child, leaf_lo, leaf_hi, tree_order, depth, angular):
+        self.a_pt = a_pt
+        self.b_pt = b_pt
+        self.child = child
+        self.leaf_lo = leaf_lo
+        self.leaf_hi = leaf_hi
+        self.tree_order = tree_order
+        self.depth = int(depth)
+        self.angular = bool(angular)
+        self.leaf_max = (
+            int(np.max(np.asarray(leaf_hi) - np.asarray(leaf_lo)))
+            if len(np.asarray(leaf_lo))
+            else 0
+        )
+
+    def to_arrays(self):
+        return dict(
+            a_pt=np.asarray(self.a_pt),
+            b_pt=np.asarray(self.b_pt),
+            child=np.asarray(self.child),
+            leaf_lo=np.asarray(self.leaf_lo),
+            leaf_hi=np.asarray(self.leaf_hi),
+            tree_order=np.asarray(self.tree_order),
+            depth=self.depth,
+            angular=self.angular,
+        )
+
+    @classmethod
+    def from_arrays(cls, d):
+        return cls(
+            d["a_pt"], d["b_pt"], d["child"], d["leaf_lo"], d["leaf_hi"],
+            d["tree_order"], d["depth"], d["angular"],
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size", "max_depth", "angular"))
+def build_tree_trace(X, seed, leaf_size: int, max_depth: int, angular: bool = False):
+    """Like build_tree_order but returns per-level snapshots of
+    (order, start, size) entering each level, for host-side flattening."""
+    n = X.shape[0]
+    norms = jnp.linalg.norm(X, axis=-1) if angular else jnp.zeros((n,), X.dtype)
+    order = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.zeros(n, jnp.int32)
+    size = jnp.full(n, n, jnp.int32)
+
+    def step(carry, level):
+        order, start, size = carry
+        new = _split_level(X, norms, order, start, size, level, seed, leaf_size, angular)
+        return new, carry
+
+    (order, start, size), snaps = jax.lax.scan(
+        step, (order, start, size), jnp.arange(max_depth)
+    )
+    order_snaps = jnp.concatenate([snaps[0], order[None]], axis=0)
+    start_snaps = jnp.concatenate([snaps[1], start[None]], axis=0)
+    size_snaps = jnp.concatenate([snaps[2], size[None]], axis=0)
+    return order_snaps, start_snaps, size_snaps
+
+
+def _np_hash_mod(a, b, c, mod):
+    """numpy mirror of _hash_mod (for host-side tree flattening)."""
+    with np.errstate(over="ignore"):
+        h = (
+            np.uint32(a) * np.uint32(0x9E3779B9)
+            + np.uint32(b) * np.uint32(0x85EBCA6B)
+            + np.uint32(c).astype(np.uint32) * np.uint32(0xC2B2AE35)
+        )
+        h = (h ^ (h >> np.uint32(16))) * np.uint32(0x7FEB352D)
+        h = (h ^ (h >> np.uint32(15))) * np.uint32(0x846CA68B)
+        h = h ^ (h >> np.uint32(16))
+    return (h % np.uint32(max(int(mod), 1))).astype(np.int64)
+
+
+def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
+                        angular: bool = False) -> FlatTree:
+    """Build one RP tree on device and flatten it to query-descent arrays."""
+    n = X.shape[0]
+    if max_depth is None:
+        max_depth = forest_depth(n, leaf_size)
+    order_snaps, start_snaps, size_snaps = jax.device_get(
+        build_tree_trace(jnp.asarray(X), jnp.uint32(seed), leaf_size, max_depth, angular)
+    )
+    seed = int(seed)
+
+    a_pt, b_pt, child, leaf_lo, leaf_hi = [], [], [], [], []
+    # BFS over (level, start, size) nodes
+    from collections import deque
+
+    queue = deque([(0, 0, n)])
+    ids = {}
+
+    def node_id(level, s, sz):
+        key = (level, s, sz)
+        if key not in ids:
+            ids[key] = len(a_pt)
+            a_pt.append(0)
+            b_pt.append(0)
+            child.append([0, 0])
+            leaf_lo.append(-1)
+            leaf_hi.append(-1)
+            queue.append(key)
+        return ids[key]
+
+    root = node_id(0, 0, n)
+    seen = set()
+    while queue:
+        key = queue.popleft()
+        if key in seen:
+            continue
+        seen.add(key)
+        level, s, sz = key
+        i = ids[key]
+        if sz <= leaf_size or level >= max_depth:
+            child[i] = [i, i]  # self-loop: descent can run a fixed depth
+            leaf_lo[i] = s
+            leaf_hi[i] = s + sz
+            continue
+        a_off = _np_hash_mod(seed, 2 * level + 1, s, sz)
+        b_off = _np_hash_mod(seed, 2 * level + 2, s, max(sz - 1, 1))
+        if b_off >= a_off:
+            b_off += 1
+        b_off = min(b_off, sz - 1)
+        a_pt[i] = int(order_snaps[level][s + a_off])
+        b_pt[i] = int(order_snaps[level][s + b_off])
+        n_left = int(size_snaps[level + 1][s]) if int(start_snaps[level + 1][s]) == s else 0
+        if n_left in (0, sz):  # passthrough (degenerate random kept node whole)
+            ci = node_id(level + 1, s, sz)
+            child[i] = [ci, ci]
+        else:
+            child[i] = [
+                node_id(level + 1, s, n_left),
+                node_id(level + 1, s + n_left, sz - n_left),
+            ]
+    return FlatTree(
+        np.asarray(a_pt, np.int32),
+        np.asarray(b_pt, np.int32),
+        np.asarray(child, np.int32),
+        np.asarray(leaf_lo, np.int32),
+        np.asarray(leaf_hi, np.int32),
+        order_snaps[-1].astype(np.int32),
+        max_depth,
+        angular,
+    )
+
+
+def descend_tree(tree_arrays, X, queries, coins, depth: int, angular: bool = False):
+    """Vectorised query descent: queries [q, d], coins u32[q] tie-break bits.
+    Returns (leaf_lo [q], leaf_hi [q]) slices into tree_order.
+    (Replaces search_flat_tree / select_side, reference rp_trees.py:2644-2759.)
+    """
+    a_pt = tree_arrays["a_pt"]
+    b_pt = tree_arrays["b_pt"]
+    child = tree_arrays["child"]
+    q = queries.shape[0]
+    node = jnp.zeros(q, jnp.int32)
+
+    if angular:
+        norms = jnp.linalg.norm(X, axis=-1)
+
+    def body(level, node):
+        a = a_pt[node]
+        b = b_pt[node]
+        xa = X[a]
+        xb = X[b]
+        if angular:
+            na = jnp.maximum(norms[a], 1e-8)[:, None]
+            nb = jnp.maximum(norms[b], 1e-8)[:, None]
+            hyper = xa / na - xb / nb
+            margin = jnp.sum(queries * hyper, axis=-1)
+        else:
+            hyper = xa - xb
+            offset = jnp.sum(hyper * (xa + xb) * 0.5, axis=-1)
+            margin = jnp.sum(queries * hyper, axis=-1) - offset
+        coin = ((coins >> jnp.uint32(level % 32)) & 1).astype(bool)
+        side = jnp.where(margin > 0, True, jnp.where(margin < 0, False, coin))
+        return child[node, side.astype(jnp.int32)]
+
+    node = jax.lax.fori_loop(0, depth, body, node)
+    return tree_arrays["leaf_lo"][node], tree_arrays["leaf_hi"][node]
+
+
 def make_forest_leaves(X, n_trees, leaf_size, key, angular=False, max_depth=None):
     """Build the forest and return a list of per-tree padded leaf matrices.
 

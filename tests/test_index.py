@@ -1,0 +1,77 @@
+"""Full-index build + query recall floors
+(mirrors reference tests/test_pynndescent_.py:19-203)."""
+
+import numpy as np
+import pytest
+from sklearn.neighbors import NearestNeighbors
+
+from pynndescent_tpu import NNDescent
+
+
+def _recall(indices, true_indices):
+    n, k = true_indices.shape
+    hits = sum(
+        len(np.intersect1d(indices[i, :k], true_indices[i])) for i in range(n)
+    )
+    return hits / (n * k)
+
+
+def test_build_recall_euclidean(nn_data):
+    k = 10
+    index = NNDescent(nn_data, n_neighbors=k, random_state=42)
+    idx, dist = index.neighbor_graph
+    nn = NearestNeighbors(n_neighbors=k).fit(nn_data)
+    true_idx = nn.kneighbors(nn_data, k, return_distance=False)
+    recall = _recall(idx, true_idx)
+    assert recall >= 0.98, f"build recall {recall} < 0.98"
+    # distances must be true euclidean (corrected from sqeuclidean)
+    true_d = np.linalg.norm(nn_data[idx[5]] - nn_data[5], axis=1)
+    np.testing.assert_allclose(dist[5], true_d, rtol=1e-3, atol=1e-3)
+
+
+def test_build_recall_cosine(nn_data):
+    k = 10
+    index = NNDescent(nn_data, metric="cosine", n_neighbors=k, random_state=42)
+    idx, dist = index.neighbor_graph
+    nn = NearestNeighbors(n_neighbors=k, metric="cosine").fit(nn_data)
+    true_idx = nn.kneighbors(nn_data, k, return_distance=False)
+    recall = _recall(idx, true_idx)
+    assert recall >= 0.98, f"cosine build recall {recall} < 0.98"
+
+
+def test_query_recall_euclidean(nn_data):
+    k = 10
+    train = nn_data[200:]
+    queries = nn_data[:200]
+    index = NNDescent(train, n_neighbors=10, random_state=42)
+    idx, dist = index.query(queries, k=k, epsilon=0.2)
+    nn = NearestNeighbors(n_neighbors=k).fit(train)
+    true_idx = nn.kneighbors(queries, k, return_distance=False)
+    recall = _recall(idx, true_idx)
+    assert recall >= 0.95, f"query recall {recall} < 0.95"
+    # distances corrected to true euclidean
+    true_d = np.linalg.norm(train[idx[0]] - queries[0], axis=1)
+    np.testing.assert_allclose(np.sort(dist[0]), np.sort(true_d), rtol=1e-3, atol=1e-3)
+
+
+def test_query_recall_angular(nn_data):
+    k = 10
+    train = nn_data[200:]
+    queries = nn_data[:200]
+    index = NNDescent(train, metric="cosine", n_neighbors=10, random_state=42)
+    idx, _ = index.query(queries, k=k, epsilon=0.2)
+    nn = NearestNeighbors(n_neighbors=k, metric="cosine").fit(train)
+    true_idx = nn.kneighbors(queries, k, return_distance=False)
+    recall = _recall(idx, true_idx)
+    assert recall >= 0.95, f"angular query recall {recall} < 0.95"
+
+
+def test_query_determinism(nn_data):
+    train = nn_data[200:]
+    queries = nn_data[:200]
+    i1 = NNDescent(train, n_neighbors=10, random_state=42)
+    i2 = NNDescent(train, n_neighbors=10, random_state=42)
+    r1 = i1.query(queries, k=5)
+    r2 = i2.query(queries, k=5)
+    np.testing.assert_array_equal(r1[0], r2[0])
+    np.testing.assert_allclose(r1[1], r2[1])
