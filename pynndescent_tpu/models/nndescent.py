@@ -135,15 +135,19 @@ class NNDescent:
         self.tree_init = tree_init and n_trees > 0
 
         # ---- build ----
-        leaf_array = None
+        forest = None
         if self.tree_init:
             if verbose:
                 print("Building RP forest with", n_trees, "trees")
-            leaf_array = rp_trees.make_forest_leaves(
+            fkey = rng.derive(self._key, rng.ROLE_FOREST)
+            seeds = jax.random.randint(
+                fkey, (n_trees,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
+            ).astype(jnp.uint32)
+            forest = rp_trees.build_forest_orders(
                 self._X,
-                n_trees,
+                seeds,
                 leaf_size,
-                rng.derive(self._key, rng.ROLE_FOREST),
+                rp_trees.forest_depth(n, leaf_size),
                 angular=self._angular_trees,
             )
 
@@ -172,7 +176,8 @@ class NNDescent:
             delta=delta,
             max_candidates=max_candidates,
             init_graph=init_state,
-            leaf_array=leaf_array,
+            forest=forest,
+            leaf_cap=min(leaf_size, 64),
             block_rows=block_rows,
             verbose=verbose,
         )
@@ -240,51 +245,46 @@ class NNDescent:
             return
         idx, dist = self._neighbor_graph
         n, k = idx.shape
-        row_ids = np.arange(n, dtype=np.int32)[:, None]
-
-        # forward diversify (self edges at distance ~0 never occlude and are
-        # dropped from the search graph rows below)
-        keep_fwd = prune_ops.diversify(
-            idx,
-            dist,
-            self._X,
-            self._internal_metric,
-            self._internal_metric_kwds,
-            prune_prob=self.diversify_prob,
-            key=None if self.diversify_prob >= 1.0 else rng.derive(self._key, rng.ROLE_SEARCH, 7),
-        )
-        fwd_idx = np.where(keep_fwd & (idx >= 0) & (idx != row_ids), idx, -1)
-        fwd_dist = np.where(fwd_idx >= 0, dist, np.inf).astype(np.float32)
-
-        # reverse rows (transpose of the diversified forward graph), capped
         deg_max = max(1, int(round(self.pruning_degree_multiplier * self.n_neighbors)))
-        rev_idx, rev_dist = _transpose_padded(fwd_idx, fwd_dist, cap=max(2 * deg_max, 16))
+        rev_cap = max(2 * deg_max, 16)
+        metric = self._internal_metric
+        metric_kwds = self._internal_metric_kwds
+        prune_prob = self.diversify_prob
+        div_key = rng.derive(self._key, rng.ROLE_SEARCH, 7)
 
-        keep_rev = prune_ops.diversify(
-            rev_idx,
-            rev_dist,
-            self._X,
-            self._internal_metric,
-            self._internal_metric_kwds,
-            prune_prob=self.diversify_prob,
-            key=None if self.diversify_prob >= 1.0 else rng.derive(self._key, rng.ROLE_SEARCH, 8),
-        )
-        rev_idx = np.where(keep_rev, rev_idx, -1)
-        rev_dist = np.where(rev_idx >= 0, rev_dist, np.inf).astype(np.float32)
-
-        # union forward + reverse per row, keep the deg_max closest
         from pynndescent_tpu.ops.neighbors import make_neighbor_state, merge_candidates
 
-        state = make_neighbor_state(n, deg_max)
-        state, _ = merge_candidates(state, jnp.asarray(fwd_idx), jnp.asarray(fwd_dist))
-        state, _ = merge_candidates(state, jnp.asarray(rev_idx), jnp.asarray(rev_dist))
-        adj = np.asarray(state.idx)
-        adj_dist = np.asarray(state.dist)
+        @jax.jit
+        def _assemble(idx, dist, X, key):
+            row_ids = jnp.arange(n, dtype=jnp.int32)[:, None]
+            # forward diversify (self edges at distance ~0 never occlude and
+            # are dropped from the rows here)
+            keep_fwd = prune_ops.diversify_all(
+                idx, dist, X, metric, metric_kwds, prune_prob, key
+            )
+            fwd_idx = jnp.where(keep_fwd & (idx >= 0) & (idx != row_ids), idx, -1)
+            fwd_dist = jnp.where(fwd_idx >= 0, dist, jnp.inf)
+            # reverse rows = transpose of the diversified forward graph
+            rev_idx, rev_dist = prune_ops.reverse_topk(fwd_idx, fwd_dist, rev_cap)
+            keep_rev = prune_ops.diversify_all(
+                rev_idx, rev_dist, X, metric, metric_kwds, prune_prob,
+                jax.random.fold_in(key, 1),
+            )
+            rev_idx = jnp.where(keep_rev, rev_idx, -1)
+            rev_dist = jnp.where(rev_idx >= 0, rev_dist, jnp.inf)
+            # union forward + reverse per row, keep the deg_max closest
+            # (merge maximum + degree_prune, reference :1595-1609)
+            state = make_neighbor_state(n, deg_max)
+            state, _ = merge_candidates(state, fwd_idx, fwd_dist)
+            state, _ = merge_candidates(state, rev_idx, rev_dist)
+            min_dist = jnp.min(jnp.where(jnp.isfinite(state.dist), state.dist, jnp.inf))
+            return state.idx, jnp.where(jnp.isfinite(min_dist), min_dist, 0.0)
 
-        finite = adj_dist[np.isfinite(adj_dist)]
-        self._min_distance = float(finite.min()) if finite.size else 0.0
-
-        self._search_graph = jnp.asarray(adj)
+        adj, min_dist = _assemble(
+            jnp.asarray(idx), jnp.asarray(dist), self._X, div_key
+        )
+        self._min_distance = float(min_dist)
+        self._search_graph = adj
 
         # search tree (reference builds a graph-informed hub tree,
         # rp_trees.py:1233; plain RP tree fallback :1354-1373 — hub variant
@@ -347,27 +347,3 @@ class NNDescent:
         self.prepare()
         self.compressed = True
         self._neighbor_graph = None
-
-
-def _transpose_padded(fwd_idx, fwd_dist, cap):
-    """Reverse adjacency rows, capped at ``cap`` smallest-distance in-edges,
-    padded with -1 (host; the reference materialises a CSR transpose,
-    pynndescent_.py:1549)."""
-    n, k = fwd_idx.shape
-    src = np.repeat(np.arange(n, dtype=np.int32), k)
-    tgt = fwd_idx.reshape(-1)
-    d = fwd_dist.reshape(-1)
-    ok = tgt >= 0
-    src, tgt, d = src[ok], tgt[ok], d[ok]
-    order = np.lexsort((d, tgt))
-    src, tgt, d = src[order], tgt[order], d[order]
-    # rank within each target group
-    first = np.searchsorted(tgt, np.arange(n))
-    counts = np.diff(np.append(first, len(tgt)))
-    rank = np.arange(len(tgt)) - np.repeat(first, counts)
-    keep = rank < cap
-    rev_idx = np.full((n, cap), -1, np.int32)
-    rev_dist = np.full((n, cap), np.inf, np.float32)
-    rev_idx[tgt[keep], rank[keep]] = src[keep]
-    rev_dist[tgt[keep], rank[keep]] = d[keep]
-    return rev_idx, rev_dist

@@ -83,27 +83,41 @@ def _forward_sample(idx, pri, mask, c):
     return cand, pos, valid
 
 
-def _reverse_sample(idx, pri, slot, mask, n, c):
-    """Slot-reservoir reverse sampling: each directed edge (i -> idx[i, l])
-    bids for a random slot in its *target's* candidate row with a random
-    priority; the minimum-priority bid per slot wins.
+def _reverse_sample(idx, pri, mask, n, c):
+    """Reverse-neighbor sampling: for every vertex, pick the c in-edges with
+    smallest random priority — exactly the reference's reverse candidate
+    semantics (utils.py:259-306), computed as one segmented sort instead of
+    the owner-computes scan: sort all directed edges by (target, priority),
+    rank within each target's run, keep ranks < c.
 
-    This is the TPU replacement for the reference's owner-computes reverse
-    candidate pass (utils.py:259-306): one scatter-min + one gather instead
-    of every thread scanning all edges.
+    Sorts + a provably-unique scatter are TPU-fast; a scatter-min reservoir
+    (the obvious alternative) serialises on collision-unsafe indices.
 
     Returns (reverse candidates [n, c], per-edge win mask [n, k]).
     """
-    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], idx.shape)
-    tgt = jnp.where(mask, idx, n)  # dump masked edges on a padding row
-    pri = jnp.where(mask, pri, jnp.inf)
+    k = idx.shape[1]
+    nk = n * k
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], idx.shape).reshape(-1)
+    edge_id = jnp.arange(nk, dtype=jnp.int32)
+    tgt = jnp.where(mask, idx, n).reshape(-1)
+    pri = jnp.where(mask, pri, jnp.inf).reshape(-1)
 
-    buf = jnp.full((n + 1, c), jnp.inf, jnp.float32)
-    buf = buf.at[tgt, slot].min(pri)
-    won = (pri == buf[tgt, slot]) & mask
-    rcand = jnp.full((n + 1, c), -1, jnp.int32)
-    rcand = rcand.at[tgt, slot].max(jnp.where(won, src, -1))
-    return rcand[:n], won
+    t_s, p_s, s_s, e_s = jax.lax.sort((tgt, pri, src, edge_id), num_keys=2)
+    posn = jnp.arange(nk, dtype=jnp.int32)
+    is_head = jnp.concatenate([jnp.ones((1,), bool), t_s[1:] != t_s[:-1]])
+    group_start = jax.lax.cummax(jnp.where(is_head, posn, -1))
+    rank = posn - group_start
+    keep = (rank < c) & (t_s < n)
+
+    rows = jnp.where(keep, t_s, n)  # n is out-of-bounds for [n, c] -> dropped
+    cols = jnp.where(keep, rank, 0)
+    rcand = jnp.full((n, c), -1, jnp.int32)
+    rcand = rcand.at[rows, cols].set(s_s, mode="drop", unique_indices=True)
+
+    won_flat = jnp.zeros((nk,), bool).at[jnp.where(keep, e_s, nk)].set(
+        True, mode="drop", unique_indices=True
+    )
+    return rcand, won_flat.reshape(n, k)
 
 
 class CandidateSample(NamedTuple):
@@ -118,7 +132,7 @@ def build_candidates(state: NeighborState, key, max_candidates: int) -> Candidat
     n, k = state.idx.shape
     c = max_candidates
     valid = state.idx >= 0
-    k_f, k_rn, k_ro, k_slot_n, k_slot_o = jax.random.split(key, 5)
+    k_f, k_rn, k_ro = jax.random.split(key, 3)
 
     pri = jax.random.uniform(k_f, (n, k))
     new_mask = valid & state.flag
@@ -129,17 +143,15 @@ def build_candidates(state: NeighborState, key, max_candidates: int) -> Candidat
 
     rpri_n = jax.random.uniform(k_rn, (n, k))
     rpri_o = jax.random.uniform(k_ro, (n, k))
-    slot_n = jax.random.randint(k_slot_n, (n, k), 0, c, dtype=jnp.int32)
-    slot_o = jax.random.randint(k_slot_o, (n, k), 0, c, dtype=jnp.int32)
-    rev_new, won_new = _reverse_sample(state.idx, rpri_n, slot_n, new_mask, n, c)
-    rev_old, _ = _reverse_sample(state.idx, rpri_o, slot_o, old_mask, n, c)
+    rev_new, won_new = _reverse_sample(state.idx, rpri_n, new_mask, n, c)
+    rev_old, _ = _reverse_sample(state.idx, rpri_o, old_mask, n, c)
 
     # Clear flags of new edges consumed this round: forward-sampled ones and
     # reverse winners (reference clears on priority match, utils.py:285-306).
     flag = state.flag
     rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], pos_new.shape)
     flag = flag.at[rows, pos_new].set(
-        jnp.where(sel_new, False, flag[rows, pos_new])
+        jnp.where(sel_new, False, flag[rows, pos_new]), unique_indices=True
     )
     flag = flag & ~won_new
 
@@ -283,75 +295,50 @@ def init_random(state: NeighborState, X, key, n_extra: int, dist_rowwise):
     return state
 
 
-def init_from_leaf_array(state: NeighborState, X, leaf_array, dist_rowwise, block_rows=512):
-    """Seed the graph from RP-forest leaves: every point merges distances to
-    its leaf-mates (reference: init_rp_tree / generate_leaf_updates,
-    pynndescent_.py:73-185 — reshaped from leaf-pair scatters to row-local
-    merges over a [n, trees * leaf_size] co-member table)."""
+def init_from_tree_order(
+    state: NeighborState, X, order, start, size, dist_rowwise,
+    leaf_cap: int, block_rows: int = 8192,
+):
+    """Seed the graph from one RP tree's node-location encoding — gather-only.
+
+    For the point at tree position p, its leaf co-members are exactly
+    ``order[start[p] : start[p] + size[p]]`` — a contiguous gather window.
+    Each point merges distances to (up to leaf_cap of) its leaf-mates into
+    its own row; rows are then written back through the ``order`` permutation
+    (provably-unique scatter). Replaces the reference's leaf-pair update
+    scatters (init_rp_tree / generate_leaf_updates, pynndescent_.py:73-185)
+    with zero collision-prone scatters.
+    """
     n = X.shape[0]
-    # leaf_array: [n_leaves, leaf_max] padded with -1. Build per-point list of
-    # leaf-mates by inverting: point -> (tree leaf row). Each point appears in
-    # at most n_trees leaves.
-    leaf_array = jnp.asarray(leaf_array, jnp.int32)
-    n_leaves, leaf_max = leaf_array.shape
-    # membership[point, t] = leaf row containing point in tree t; build by scatter.
-    flat = leaf_array.reshape(-1)
-    rows = jnp.repeat(jnp.arange(n_leaves, dtype=jnp.int32), leaf_max)
-    # Count how many leaves each point belongs to (== n_trees, but padded):
-    # scatter leaf-row ids into per-point slots via a cumulative-slot trick.
-    # Simpler: for every leaf, all members are candidates of all members.
-    # Process leaf blocks and merge rows via slot-reservoir staging, or just
-    # expand to per-point candidate table when n_trees is small:
-    # order points by leaf and use the leaf rows directly.
-    # Per-point table: [n, max_membership * leaf_max] would be large; instead
-    # iterate leaves blockwise, each pass merging leaf members' rows.
-    lb = min(block_rows, n_leaves)
-    n_blocks = -(-n_leaves // lb)
+    b = min(block_rows, n)
+    n_blocks = -(-n // b)
+    offsets = jnp.arange(leaf_cap, dtype=jnp.int32)
 
     def body(blk, st):
-        start = jnp.minimum(blk * lb, n_leaves - lb)
-        leaves = jax.lax.dynamic_slice_in_dim(leaf_array, start, lb)  # [lb, L]
-        members = jnp.maximum(leaves, 0)
-        V = X[members]  # [lb, L, d]
-        # pairwise within leaf: [lb, L, L]
-        D = _leaf_pairwise(V, dist_rowwise)
-        valid = leaves >= 0
-        pair_ok = valid[:, :, None] & valid[:, None, :]
-        eye = jnp.eye(leaf_max, dtype=bool)
-        D = jnp.where(pair_ok & ~eye, D, jnp.inf)
-        cand_idx = jnp.broadcast_to(leaves[:, None, :], D.shape)
-        cand_idx = jnp.where(jnp.isfinite(D), cand_idx, -1)
-        # merge member rows: flatten leaf block to rows
-        tgt = members.reshape(-1)  # [lb*L]
-        ci = cand_idx.reshape(lb * leaf_max, leaf_max)
-        cd = D.reshape(lb * leaf_max, leaf_max)
-        # gather target rows, merge, scatter back (duplicate targets across
-        # different leaves in the same block are rare; collisions lose one
-        # leaf's contribution for that point in this block only — later
-        # blocks/iterations recover it).
-        row_state = NeighborState(st.idx[tgt], st.dist[tgt], st.flag[tgt])
-        merged, _ = merge_candidates(row_state, ci, cd)
-        ok = (jax.lax.dynamic_slice_in_dim(leaf_array, start, lb).reshape(-1)) >= 0
-        tgt_safe = jnp.where(ok, tgt, n)
-        idx_new = jnp.zeros((n + 1, st.idx.shape[1]), st.idx.dtype).at[tgt_safe].set(merged.idx)[:n]
-        dist_new = jnp.zeros((n + 1, st.dist.shape[1]), st.dist.dtype).at[tgt_safe].set(merged.dist)[:n]
-        flag_new = jnp.zeros((n + 1, st.flag.shape[1]), st.flag.dtype).at[tgt_safe].set(merged.flag)[:n]
-        written = jnp.zeros((n + 1,), bool).at[tgt_safe].set(True)[:n]
+        s0 = jnp.minimum(blk * b, n - b)
+        pos = s0 + jnp.arange(b, dtype=jnp.int32)
+        pts = order[pos]
+        lstart = start[pos]
+        lsize = size[pos]
+        win = lstart[:, None] + offsets[None, :]
+        cand = order[jnp.minimum(win, n - 1)]
+        cand = jnp.where(offsets[None, :] < jnp.minimum(lsize, leaf_cap)[:, None], cand, -1)
+        Q = X[pts]
+        C = X[jnp.maximum(cand, 0)]
+        d = dist_rowwise(Q, C)
+        d = jnp.where(cand < 0, jnp.inf, d)
+        row_state = NeighborState(st.idx[pts], st.dist[pts], st.flag[pts])
+        merged, _ = merge_candidates(row_state, cand, d)
+        # pts are distinct within one scatter call (order is a permutation),
+        # so the unique fast path applies; the final block's overlap with the
+        # previous one only re-merges already-merged rows across calls
         return NeighborState(
-            jnp.where(written[:, None], idx_new, st.idx),
-            jnp.where(written[:, None], dist_new, st.dist),
-            jnp.where(written[:, None], flag_new, st.flag),
+            st.idx.at[pts].set(merged.idx, unique_indices=True),
+            st.dist.at[pts].set(merged.dist, unique_indices=True),
+            st.flag.at[pts].set(merged.flag, unique_indices=True),
         )
 
     return jax.lax.fori_loop(0, n_blocks, body, state)
-
-
-def _leaf_pairwise(V, dist_rowwise):
-    """All-pairs distances within each leaf tile: V [lb, L, d] -> [lb, L, L]."""
-    lb, L, d = V.shape
-    Q = V.reshape(lb * L, d)
-    C = jnp.broadcast_to(V[:, None, :, :], (lb, L, L, d)).reshape(lb * L, L, d)
-    return dist_rowwise(Q, C).reshape(lb, L, L)
 
 
 def nn_descent(
@@ -365,7 +352,8 @@ def nn_descent(
     delta: float = 0.001,
     max_candidates: int | None = None,
     init_graph: NeighborState | None = None,
-    leaf_array=None,
+    forest=None,
+    leaf_cap: int | None = None,
     rp_tree_init: bool = True,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     hop2_new_samples: int | None = None,
@@ -391,41 +379,81 @@ def nn_descent(
         hop2_old_samples = max(1, max_candidates // 2)
 
     dist_rowwise = _resolve_rowwise_metric(metric, metric_kwds)
+    if leaf_cap is None:
+        leaf_cap = 64
 
     state = init_graph if init_graph is not None else make_neighbor_state(n, k)
-    if leaf_array is not None and rp_tree_init:
-        leaf_array = np.asarray(leaf_array)
-        if leaf_array.ndim == 2:
-            leaf_array = leaf_array[None]
-        leaf_init = jax.jit(
-            lambda st, la: init_from_leaf_array(st, X, la, dist_rowwise)
-        )
-        for t in range(leaf_array.shape[0]):  # one compile, reused per tree
-            state = leaf_init(state, jnp.asarray(leaf_array[t]))
-    state = init_random(
-        state, X, rng.derive(key, rng.ROLE_DESCENT_INIT), n_extra=k, dist_rowwise=dist_rowwise
-    )
 
-    iteration = jax.jit(
-        functools.partial(
-            _descent_iteration,
-            max_candidates=max_candidates,
-            dist_rowwise=dist_rowwise,
-            block_rows=block_rows,
-            hop2_new_samples=hop2_new_samples,
-            hop2_old_samples=hop2_old_samples,
-        )
+    iteration = functools.partial(
+        _descent_iteration,
+        max_candidates=max_candidates,
+        dist_rowwise=dist_rowwise,
+        block_rows=block_rows,
+        hop2_new_samples=hop2_new_samples,
+        hop2_old_samples=hop2_old_samples,
     )
+    stop_count = jnp.float32(delta * k * n)
 
-    stop_count = delta * k * n
-    for it in range(n_iters):
-        state, changes = iteration(state, X, rng.derive(key, rng.ROLE_DESCENT_ITER, it))
-        if verbose:
+    if verbose:
+        # observable per-iteration path (one compile per stage, host loop)
+        if forest is not None and rp_tree_init:
+            orders, starts, sizes = forest
+            tree_init_fn = jax.jit(
+                functools.partial(
+                    init_from_tree_order, dist_rowwise=dist_rowwise, leaf_cap=leaf_cap
+                )
+            )
+            for t in range(orders.shape[0]):
+                state = tree_init_fn(state, X, orders[t], starts[t], sizes[t])
+        state = jax.jit(
+            functools.partial(init_random, n_extra=k, dist_rowwise=dist_rowwise)
+        )(state, X, rng.derive(key, rng.ROLE_DESCENT_INIT))
+        iteration = jax.jit(iteration)
+        for it in range(n_iters):
+            state, changes = iteration(state, X, rng.derive(key, rng.ROLE_DESCENT_ITER, it))
             print(f"\t{it + 1}  /  {n_iters}  (changes: {int(changes)})")
-        if int(changes) <= stop_count:
-            if verbose:
+            if int(changes) <= float(stop_count):
                 print(f"\tStopping threshold met -- exiting after {it + 1} iterations")
-            break
+                break
+        return sort_by_distance(state.idx, state.dist)
 
-    idx, dist = sort_by_distance(state.idx, state.dist)
-    return idx, dist
+    # fused single-program build: leaf init over all trees + random init +
+    # early-exiting descent loop, one XLA compile, no host round-trips
+    # (the eager/dispatch overhead of a staged build dominates actual TPU
+    # compute by orders of magnitude on tunneled devices)
+    @functools.partial(jax.jit, static_argnames=("has_forest",))
+    def _build(state, X, forest, key, has_forest):
+        if has_forest:
+            orders, starts, sizes = forest
+            n_trees = orders.shape[0]
+
+            def tree_body(t, st):
+                return init_from_tree_order(
+                    st, X, orders[t], starts[t], sizes[t],
+                    dist_rowwise=dist_rowwise, leaf_cap=leaf_cap,
+                )
+
+            state = jax.lax.fori_loop(0, n_trees, tree_body, state)
+        state = init_random(
+            state, X, rng.derive(key, rng.ROLE_DESCENT_INIT),
+            n_extra=k, dist_rowwise=dist_rowwise,
+        )
+
+        def cond(carry):
+            st, it, changes = carry
+            return (it < n_iters) & (changes > stop_count)
+
+        def body(carry):
+            st, it, _ = carry
+            st, ch = iteration(st, X, rng.derive(key, rng.ROLE_DESCENT_ITER, it))
+            return st, it + 1, ch.astype(jnp.float32)
+
+        state, n_done, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.int32(0), jnp.float32(np.inf))
+        )
+        idx, dist = sort_by_distance(state.idx, state.dist)
+        return idx, dist
+
+    if forest is not None and rp_tree_init:
+        return _build(state, X, tuple(forest), key, has_forest=True)
+    return _build(state, X, None, key, has_forest=False)

@@ -94,43 +94,77 @@ def diversify_block(idx, dist, X, metric, metric_kwds=None, prune_prob=1.0, key=
     return keep
 
 
+def diversify_all(idx, dist, X, metric, metric_kwds=None, prune_prob=1.0, key=None,
+                  degrees=None, aggression=1.0, block_rows=4096):
+    """Pure blocked diversify over all rows (fori over row blocks) — safe to
+    call under an enclosing jit. Returns keep mask bool[n, k] on device."""
+    n, k = idx.shape
+    b = min(block_rows, n)
+    n_blocks = -(-n // b)
+    if key is None:
+        key = jax.random.PRNGKey(0)  # unused when prune_prob >= 1
+
+    def body(blk, keep):
+        s0 = jnp.minimum(blk * b, n - b)
+        bi = jax.lax.dynamic_slice_in_dim(idx, s0, b)
+        bd = jax.lax.dynamic_slice_in_dim(dist, s0, b)
+        kb = diversify_block(
+            bi, bd, X, metric, metric_kwds, prune_prob,
+            jax.random.fold_in(key, blk), degrees, aggression,
+        )
+        return jax.lax.dynamic_update_slice_in_dim(keep, kb, s0, 0)
+
+    return jax.lax.fori_loop(0, n_blocks, body, jnp.zeros((n, k), bool))
+
+
 def diversify(idx, dist, X, metric, metric_kwds=None, prune_prob=1.0, key=None,
-              degrees=None, aggression=1.0, block_rows=2048):
-    """Blocked driver for diversify_block over all rows. Returns keep mask."""
-    idx = jnp.asarray(idx)
-    dist = jnp.asarray(dist)
-    X = jnp.asarray(X)
-    n = idx.shape[0]
+              degrees=None, aggression=1.0, block_rows=4096):
+    """Jitted standalone driver; returns the keep mask as a host array."""
     fn = jax.jit(
         functools.partial(
-            diversify_block,
-            X=X,
+            diversify_all,
             metric=metric,
             metric_kwds=metric_kwds,
             prune_prob=prune_prob,
-            degrees=degrees,
             aggression=aggression,
+            block_rows=block_rows,
         )
-    ) if key is None else None
-    out = []
-    b = min(block_rows, n)
-    for s in range(0, n, b):
-        e = min(s + b, n)
-        blk_idx = idx[s:e]
-        blk_dist = dist[s:e]
-        if e - s < b:  # pad final block to keep one compiled shape
-            pad = b - (e - s)
-            blk_idx = jnp.pad(blk_idx, ((0, pad), (0, 0)), constant_values=-1)
-            blk_dist = jnp.pad(blk_dist, ((0, pad), (0, 0)), constant_values=np.inf)
-        if key is None:
-            keep = fn(blk_idx, blk_dist)
-        else:
-            keep = diversify_block(
-                blk_idx, blk_dist, X, metric, metric_kwds, prune_prob,
-                jax.random.fold_in(key, s), degrees, aggression,
-            )
-        out.append(np.asarray(keep)[: e - s])
-    return np.concatenate(out, axis=0)
+    )
+    keep = fn(
+        jnp.asarray(idx), jnp.asarray(dist), jnp.asarray(X),
+        key=key, degrees=degrees,
+    )
+    return np.asarray(keep)
+
+
+def reverse_topk(idx, dist, cap: int):
+    """Reverse (transposed) adjacency rows, keeping each vertex's ``cap``
+    smallest-distance in-edges — one segmented sort on device (replaces the
+    reference's host CSR transpose, pynndescent_.py:1549).
+
+    idx i32[n, k] (-1 padding), dist f32[n, k]. Returns
+    (rev_idx i32[n, cap], rev_dist f32[n, cap]).
+    """
+    n, k = idx.shape
+    nk = n * k
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], idx.shape).reshape(-1)
+    tgt = jnp.where(idx >= 0, idx, n).reshape(-1)
+    d = jnp.where(idx >= 0, dist, jnp.inf).reshape(-1)
+    t_s, d_s, s_s = jax.lax.sort((tgt, d, src), num_keys=2)
+    posn = jnp.arange(nk, dtype=jnp.int32)
+    is_head = jnp.concatenate([jnp.ones((1,), bool), t_s[1:] != t_s[:-1]])
+    group_start = jax.lax.cummax(jnp.where(is_head, posn, -1))
+    rank = posn - group_start
+    keep = (rank < cap) & (t_s < n) & jnp.isfinite(d_s)
+    rows = jnp.where(keep, t_s, n)  # n out-of-bounds -> dropped
+    cols = jnp.where(keep, rank, 0)
+    rev_idx = jnp.full((n, cap), -1, jnp.int32).at[rows, cols].set(
+        s_s, mode="drop", unique_indices=True
+    )
+    rev_dist = jnp.full((n, cap), jnp.inf, jnp.float32).at[rows, cols].set(
+        d_s, mode="drop", unique_indices=True
+    )
+    return rev_idx, rev_dist
 
 
 def compute_degrees(idx):

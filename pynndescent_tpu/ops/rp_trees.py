@@ -143,9 +143,11 @@ def _split_level(X, norms, order, start, size, level, seed, leaf_size, angular):
     new_start = jnp.where(done, start, jnp.where(side, start + n_left, start))
     new_size = jnp.where(done, size, jnp.where(side, size - n_left, n_left))
 
-    order = jnp.zeros_like(order).at[new_pos].set(order)
-    out_start = jnp.zeros_like(start).at[new_pos].set(new_start)
-    out_size = jnp.zeros_like(size).at[new_pos].set(new_size)
+    # new_pos is a permutation: declare indices unique so XLA emits a
+    # vectorized scatter instead of a serialized collision-safe loop
+    order = jnp.zeros_like(order).at[new_pos].set(order, unique_indices=True)
+    out_start = jnp.zeros_like(start).at[new_pos].set(new_start, unique_indices=True)
+    out_size = jnp.zeros_like(size).at[new_pos].set(new_size, unique_indices=True)
     return order, out_start, out_size
 
 

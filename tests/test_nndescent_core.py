@@ -62,12 +62,16 @@ def test_nn_descent_duplicate_free_rows(nn_data):
 
 
 def test_nn_descent_forest_init_recall(nn_data):
-    from pynndescent_tpu.ops.rp_trees import make_forest_leaves
+    import numpy as _np
+    from pynndescent_tpu.ops.rp_trees import build_forest_orders, forest_depth
 
     k = 10
     key = rng.state_from_seed(42)
-    forest = make_forest_leaves(nn_data, n_trees=6, leaf_size=60, key=rng.derive(key, 1))
-    indices, _ = nn_descent(nn_data, n_neighbors=k, key=key, leaf_array=forest)
+    n = nn_data.shape[0]
+    forest = build_forest_orders(
+        nn_data, _np.arange(6, dtype=_np.uint32), 60, forest_depth(n, 60)
+    )
+    indices, _ = nn_descent(nn_data, n_neighbors=k, key=key, forest=forest, leaf_cap=60)
     indices = np.asarray(indices)
     nn = NearestNeighbors(n_neighbors=k).fit(nn_data)
     true_indices = nn.kneighbors(nn_data, k, return_distance=False)
