@@ -347,3 +347,105 @@ class NNDescent:
         self.prepare()
         self.compressed = True
         self._neighbor_graph = None
+
+    # ------------------------------------------------------------------
+    # incremental update (reference pynndescent_.py:2381)
+    # ------------------------------------------------------------------
+
+    def update(self, xs_fresh=None, xs_updated=None, updated_indices=None):
+        """Update the index with fresh rows and/or in-place row overwrites,
+        then re-run descent seeded from the previous graph with a smaller
+        forest (reference: NNDescent.update, pynndescent_.py:2381-2553)."""
+        if self._neighbor_graph is None:
+            raise ValueError("Cannot update a compressed index")
+        data = self._raw_data
+        idx, dist = self._neighbor_graph
+        n_old, k = idx.shape
+
+        if xs_updated is not None:
+            xs_updated = np.ascontiguousarray(np.asarray(xs_updated, np.float32))
+            updated_indices = np.asarray(updated_indices, np.int64)
+            if self.metric == "dot":
+                norms = np.linalg.norm(xs_updated, axis=1, keepdims=True)
+                xs_updated = xs_updated / np.where(norms == 0.0, 1.0, norms)
+            data = data.copy()
+            data[updated_indices] = xs_updated
+            # invalidate graph entries referencing (or owned by) updated rows
+            touched = np.zeros(n_old + 1, bool)
+            touched[updated_indices] = True
+            entry_touched = touched[np.maximum(idx, 0)] | touched[
+                np.arange(n_old, dtype=np.int64), None
+            ]
+            idx = np.where(entry_touched, -1, idx)
+            dist = np.where(entry_touched, np.inf, dist).astype(np.float32)
+
+        if xs_fresh is not None:
+            xs_fresh = np.ascontiguousarray(np.asarray(xs_fresh, np.float32))
+            if self.metric == "dot":
+                norms = np.linalg.norm(xs_fresh, axis=1, keepdims=True)
+                xs_fresh = xs_fresh / np.where(norms == 0.0, 1.0, norms)
+            data = np.vstack([data, xs_fresh])
+            idx = np.vstack([idx, np.full((len(xs_fresh), k), -1, np.int32)])
+            dist = np.vstack(
+                [dist, np.full((len(xs_fresh), k), np.inf, np.float32)]
+            ).astype(np.float32)
+
+        self._raw_data = data
+        self._X = jnp.asarray(data)
+        n = data.shape[0]
+
+        # shrunken forest (reference: n_trees_after_update, :1016, :2498)
+        self._key = rng.derive(self._key, rng.ROLE_UPDATE)
+        fkey = rng.derive(self._key, rng.ROLE_FOREST)
+        seeds = jax.random.randint(
+            fkey, (self.n_trees_after_update,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
+        ).astype(jnp.uint32)
+        forest = rp_trees.build_forest_orders(
+            self._X,
+            seeds,
+            self.leaf_size,
+            rp_trees.forest_depth(n, self.leaf_size),
+            angular=self._angular_trees,
+        )
+
+        from pynndescent_tpu.ops.neighbors import state_from_graph
+
+        init_state = state_from_graph(jnp.asarray(idx), jnp.asarray(dist), k=k)
+        new_idx, new_dist = nnd_ops.nn_descent(
+            self._X,
+            self.n_neighbors,
+            self._key,
+            metric=self._internal_metric,
+            metric_kwds=self._internal_metric_kwds,
+            n_iters=self.n_iters,
+            delta=self.delta,
+            max_candidates=self.max_candidates,
+            init_graph=init_state,
+            forest=forest,
+            leaf_cap=min(self.leaf_size, 64),
+            block_rows=self.block_rows,
+            verbose=self.verbose,
+        )
+        self._neighbor_graph = (np.asarray(new_idx), np.asarray(new_dist))
+
+        # rebuild the search structures lazily (reference :2537-2553)
+        self._search_graph = None
+        self._search_tree = None
+
+    # ------------------------------------------------------------------
+    # pickling (reference pynndescent_.py:1306-1331)
+    # ------------------------------------------------------------------
+
+    def __getstate__(self):
+        self.prepare()  # search structures must exist (reference :1307)
+        state = self.__dict__.copy()
+        state["_X"] = None  # rebuilt from _raw_data
+        state["_search_graph"] = np.asarray(self._search_graph)
+        state["_key"] = np.asarray(self._key)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._X = jnp.asarray(self._raw_data)
+        self._search_graph = jnp.asarray(state["_search_graph"])
+        self._key = jnp.asarray(state["_key"])

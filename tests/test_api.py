@@ -1,0 +1,181 @@
+"""API-surface tests: transformer, pickling, update, compression, graph utils
+(mirrors reference tests/test_pynndescent_.py:234-663)."""
+
+import io
+import pickle
+
+import numpy as np
+import pytest
+from scipy import sparse
+from sklearn.neighbors import NearestNeighbors
+
+from pynndescent_tpu import NNDescent, PyNNDescentTransformer
+from pynndescent_tpu.utils import graph_utils
+
+
+def _recall(indices, true_indices):
+    n, k = true_indices.shape
+    return (
+        sum(len(np.intersect1d(indices[i, :k], true_indices[i])) for i in range(n))
+        / (n * k)
+    )
+
+
+def test_transformer_fit_transform(nn_data):
+    k = 5
+    t = PyNNDescentTransformer(n_neighbors=k, random_state=42)
+    G = t.fit_transform(nn_data)
+    assert sparse.issparse(G)
+    assert G.shape == (len(nn_data), len(nn_data))
+    # every row has k+1 entries (self included)
+    counts = np.diff(G.indptr)
+    assert np.all(counts == k + 1)
+
+
+def test_transformer_transform_matches_query(nn_data):
+    train = nn_data[100:]
+    queries = nn_data[:100]
+    t = PyNNDescentTransformer(n_neighbors=4, random_state=42).fit(train)
+    G = t.transform(queries)
+    assert G.shape == (100, len(train))
+    idx, dist = t.index_.query(queries, k=5, epsilon=0.1)
+    row0 = G.getrow(0)
+    np.testing.assert_allclose(np.sort(row0.data), np.sort(dist[0]), rtol=1e-4)
+
+
+def test_transformer_sklearn_pipeline(nn_data):
+    from sklearn.manifold import Isomap
+    from sklearn.pipeline import make_pipeline
+
+    pipe = make_pipeline(
+        PyNNDescentTransformer(n_neighbors=15, random_state=42),
+        Isomap(n_neighbors=10, metric="precomputed"),
+    )
+    out = pipe.fit_transform(nn_data[:300])
+    assert out.shape == (300, 2)
+
+
+def test_pickle_roundtrip(nn_data):
+    train = nn_data[200:]
+    queries = nn_data[:200]
+    index = NNDescent(train, n_neighbors=10, random_state=42)
+    r_before = index.query(queries, k=5, epsilon=0.2)
+    blob = pickle.dumps(index)
+    index2 = pickle.loads(blob)
+    r_after = index2.query(queries, k=5, epsilon=0.2)
+    np.testing.assert_array_equal(r_before[0], r_after[0])
+    np.testing.assert_allclose(r_before[1], r_after[1])
+
+
+def test_compressed_pickle_roundtrip(nn_data):
+    train = nn_data[200:]
+    queries = nn_data[:200]
+    index = NNDescent(train, n_neighbors=10, random_state=42, compressed=True)
+    with pytest.warns(UserWarning):
+        assert index.neighbor_graph is None
+    blob = pickle.dumps(index)
+    index2 = pickle.loads(blob)
+    idx, dist = index2.query(queries, k=5, epsilon=0.2)
+    assert idx.shape == (200, 5)
+
+
+def test_joblib_dump(nn_data):
+    import joblib
+
+    index = NNDescent(nn_data[200:], n_neighbors=10, random_state=42)
+    buf = io.BytesIO()
+    joblib.dump(index, buf)
+    buf.seek(0)
+    index2 = joblib.load(buf)
+    r1 = index.query(nn_data[:50], k=5)
+    r2 = index2.query(nn_data[:50], k=5)
+    np.testing.assert_array_equal(r1[0], r2[0])
+
+
+def test_update_with_fresh_data(nn_data):
+    k = 10
+    train = nn_data[:800]
+    fresh = nn_data[800:]
+    index = NNDescent(train, n_neighbors=k, random_state=42)
+    index.update(xs_fresh=fresh)
+    idx, dist = index.neighbor_graph
+    assert idx.shape[0] == len(nn_data)
+    nn = NearestNeighbors(n_neighbors=k).fit(nn_data)
+    true_idx = nn.kneighbors(nn_data, k, return_distance=False)
+    recall = _recall(idx, true_idx)
+    assert recall >= 0.95, f"post-update recall {recall}"
+    # queries work after update
+    qidx, _ = index.query(nn_data[:10], k=5)
+    assert qidx.shape == (10, 5)
+
+
+def test_update_with_changed_data(nn_data):
+    k = 8
+    index = NNDescent(nn_data, n_neighbors=k, random_state=42)
+    rs = np.random.RandomState(0)
+    updated_indices = np.arange(0, 50)
+    xs_updated = rs.uniform(0, 1, (50, nn_data.shape[1])).astype(np.float32)
+    index.update(xs_updated=xs_updated, updated_indices=updated_indices)
+    new_data = nn_data.copy()
+    new_data[updated_indices] = xs_updated
+    idx, _ = index.neighbor_graph
+    nn = NearestNeighbors(n_neighbors=k).fit(new_data)
+    true_idx = nn.kneighbors(new_data, k, return_distance=False)
+    recall = _recall(idx, true_idx)
+    assert recall >= 0.95, f"post-overwrite recall {recall}"
+
+
+def test_adjacency_matrix_representation(nn_data):
+    index = NNDescent(nn_data[:300], n_neighbors=5, random_state=42)
+    idx, dist = index.neighbor_graph
+    A = graph_utils.adjacency_matrix_representation(idx, dist)
+    assert A.shape == (300, 300)
+    assert (A != A.T).nnz == 0  # symmetric
+
+
+def test_connect_graph():
+    rs = np.random.RandomState(3)
+    # two well-separated blobs -> disconnected kNN graph
+    blob1 = rs.randn(100, 4).astype(np.float32)
+    blob2 = rs.randn(100, 4).astype(np.float32) + 50.0
+    data = np.vstack([blob1, blob2])
+    index = NNDescent(data, n_neighbors=5, random_state=42)
+    idx, dist = index.neighbor_graph
+    A = graph_utils.adjacency_matrix_representation(idx, dist)
+    ncomp_before, _ = sparse.csgraph.connected_components(A, directed=False)
+    assert ncomp_before >= 2
+    A2 = graph_utils.connect_graph(A, index)
+    ncomp_after, _ = sparse.csgraph.connected_components(A2, directed=False)
+    assert ncomp_after == 1
+
+
+def test_one_dimensional_data():
+    rs = np.random.RandomState(7)
+    data = rs.uniform(0, 1, (500, 1)).astype(np.float32)
+    index = NNDescent(data, n_neighbors=5, random_state=42)
+    idx, dist = index.neighbor_graph
+    assert idx.shape == (500, 5)
+    qidx, _ = index.query(data[:10], k=3)
+    assert qidx.shape == (10, 3)
+
+
+def test_tree_init_false(nn_data):
+    k = 10
+    index = NNDescent(nn_data, n_neighbors=k, random_state=42, tree_init=False)
+    idx, _ = index.neighbor_graph
+    nn = NearestNeighbors(n_neighbors=k).fit(nn_data)
+    true_idx = nn.kneighbors(nn_data, k, return_distance=False)
+    assert _recall(idx, true_idx) >= 0.95
+
+
+def test_init_graph(nn_data):
+    k = 8
+    base = NNDescent(nn_data, n_neighbors=k, random_state=42)
+    idx0, _ = base.neighbor_graph
+    warm = NNDescent(
+        nn_data, n_neighbors=k, random_state=43, init_graph=idx0, tree_init=False
+    )
+    idx, _ = warm.neighbor_graph
+    nn = NearestNeighbors(n_neighbors=k).fit(nn_data)
+    true_idx = nn.kneighbors(nn_data, k, return_distance=False)
+    assert _recall(idx, true_idx) >= 0.98
