@@ -54,19 +54,26 @@ class NNDescent:
         data,
         metric="euclidean",
         metric_kwds=None,
+        bit_metric=False,
         n_neighbors=30,
         n_trees=None,
+        angular_trees=False,
         leaf_size=None,
         pruning_degree_multiplier=1.5,
         diversify_prob=1.0,
+        diversify_method="standard",
+        degree_prune_aggressiveness=1.0,
         n_search_trees=1,
+        search_tree_leaf_size=None,
+        max_search_tree_depth=None,
+        quantization=None,
         tree_init=True,
         init_graph=None,
         init_dist=None,
         random_state=None,
         low_memory=True,
         max_candidates=None,
-        max_rptree_depth=None,
+        max_rptree_depth=200,
         n_iters=None,
         delta=0.001,
         n_jobs=None,
@@ -80,9 +87,17 @@ class NNDescent:
         self.n_neighbors = n_neighbors
         self.metric = metric
         self.metric_kwds = dict(metric_kwds or {})
+        self.bit_metric = bool(bit_metric)
+        self.angular_trees = bool(angular_trees)
         self.pruning_degree_multiplier = pruning_degree_multiplier
         self.diversify_prob = diversify_prob
+        self.diversify_method = diversify_method
+        self.degree_prune_aggressiveness = degree_prune_aggressiveness
         self.n_search_trees = n_search_trees
+        self.search_tree_leaf_size = search_tree_leaf_size
+        self.max_search_tree_depth = max_search_tree_depth
+        self.quantization = quantization
+        self.max_rptree_depth = max_rptree_depth
         self.low_memory = low_memory
         self.delta = delta
         self.compressed = compressed
@@ -92,10 +107,26 @@ class NNDescent:
         self.block_rows = block_rows
         self.beam_width = beam_width
 
-        data = np.ascontiguousarray(np.asarray(data, dtype=np.float32))
+        # dtype policy (reference pynndescent_.py:1041-1057): f32 C-order
+        # dense (CSR densified — see ops.sparse), u8 for bit-packed metrics
+        from pynndescent_tpu.ops import sparse as sparse_ops
+
+        self._input_is_sparse = sparse_ops.is_sparse(data)
+        if self._input_is_sparse:
+            data = sparse_ops.densify(data)
+        self._is_bit = metric in ("bit_hamming", "bit_jaccard") or (
+            callable(metric) and self.bit_metric
+        )
+        if self._is_bit:
+            data = np.ascontiguousarray(np.asarray(data, dtype=np.uint8))
+            self._input_dtype = np.uint8
+        else:
+            data = np.ascontiguousarray(np.asarray(data, dtype=np.float32))
+            self._input_dtype = np.float32
         if data.ndim == 1:
             data = data.reshape(-1, 1)
         n = data.shape[0]
+        self.dim = data.shape[1]
 
         # data-dependent defaults (reference pynndescent_.py:1009-1012, :1135)
         if n_trees is None:
@@ -113,8 +144,13 @@ class NNDescent:
         self.n_trees_after_update = max(2, int(round(n_trees / 3)))
 
         self._angular_trees = metric in _ANGULAR_METRICS or (
-            callable(metric) and getattr(self, "angular_trees", False)
+            callable(metric) and self.angular_trees
         )
+        # bit-packed data cannot feed the float hyperplane splitter; v1 runs
+        # bit metrics with random-init descent (reference uses dedicated bit
+        # trees, rp_trees.py:193-301 — planned upgrade)
+        if self._is_bit:
+            tree_init = False
 
         # metric resolution: substitute the order-preserving fast alternative
         # for build/search; correct distances on output
@@ -208,11 +244,20 @@ class NNDescent:
         return np.where(idx < 0, np.inf, np.asarray(d))
 
     def _set_distance_func(self):
+        """Registry lookup with fast-alternative / proxy substitution
+        (reference _set_distance_func, pynndescent_.py:1271-1304)."""
         metric = self.metric
         self._distance_correction = None
         self._internal_metric_kwds = self.metric_kwds
+        self._is_proxy = False
+        self._true_metric = None
         if callable(metric):
             self._internal_metric = metric
+        elif metric in dst.proxy_distances:
+            entry = dst.proxy_distances[metric]
+            self._internal_metric = entry["proxy_dist"]
+            self._true_metric = entry["true_dist"]
+            self._is_proxy = True
         elif metric in dst.fast_distance_alternatives:
             entry = dst.fast_distance_alternatives[metric]
             self._internal_metric = entry["pairwise"] or entry["dist"]
@@ -239,8 +284,9 @@ class NNDescent:
     # ------------------------------------------------------------------
 
     def prepare(self):
-        """Build the search graph and tree (reference: prepare,
-        pynndescent_.py:2174 / _init_search_graph :1333)."""
+        """Build the search graph, search tree and (optionally) quantized
+        codes (reference: prepare, pynndescent_.py:2174 /
+        _init_search_graph :1333)."""
         if self._search_graph is not None:
             return
         idx, dist = self._neighbor_graph
@@ -250,6 +296,8 @@ class NNDescent:
         metric = self._internal_metric
         metric_kwds = self._internal_metric_kwds
         prune_prob = self.diversify_prob
+        aggression = self.degree_prune_aggressiveness
+        degree_aware = self.diversify_method == "degree_aware"
         div_key = rng.derive(self._key, rng.ROLE_SEARCH, 7)
 
         from pynndescent_tpu.ops.neighbors import make_neighbor_state, merge_candidates
@@ -257,10 +305,13 @@ class NNDescent:
         @jax.jit
         def _assemble(idx, dist, X, key):
             row_ids = jnp.arange(n, dtype=jnp.int32)[:, None]
+            degrees = prune_ops.compute_degrees(idx) if degree_aware else None
             # forward diversify (self edges at distance ~0 never occlude and
-            # are dropped from the rows here)
+            # are dropped from the rows here); degree-aware variant relaxes
+            # the occlusion threshold for hub targets (reference :433)
             keep_fwd = prune_ops.diversify_all(
-                idx, dist, X, metric, metric_kwds, prune_prob, key
+                idx, dist, X, metric, metric_kwds, prune_prob, key,
+                degrees=degrees, aggression=aggression,
             )
             fwd_idx = jnp.where(keep_fwd & (idx >= 0) & (idx != row_ids), idx, -1)
             fwd_dist = jnp.where(fwd_idx >= 0, dist, jnp.inf)
@@ -269,6 +320,7 @@ class NNDescent:
             keep_rev = prune_ops.diversify_all(
                 rev_idx, rev_dist, X, metric, metric_kwds, prune_prob,
                 jax.random.fold_in(key, 1),
+                degrees=degrees, aggression=aggression,
             )
             rev_idx = jnp.where(keep_rev, rev_idx, -1)
             rev_dist = jnp.where(rev_idx >= 0, rev_dist, jnp.inf)
@@ -285,10 +337,15 @@ class NNDescent:
         )
         self._min_distance = float(min_dist)
         self._search_graph = adj
+        self._init_quantization()
 
         # search tree (reference builds a graph-informed hub tree,
         # rp_trees.py:1233; plain RP tree fallback :1354-1373 — hub variant
-        # is a planned upgrade)
+        # is a planned upgrade). Bit-packed data has no float splitter yet:
+        # search seeds from random samples only.
+        if self._is_bit:
+            self._search_tree = None
+            return
         seed = int(
             np.asarray(
                 jax.random.randint(
@@ -299,45 +356,137 @@ class NNDescent:
         tree = rp_trees.flatten_search_tree(
             self._X,
             seed,
-            leaf_size=max(self.leaf_size, self.n_neighbors),
+            leaf_size=self.search_tree_leaf_size
+            or max(self.leaf_size, self.n_neighbors),
+            max_depth=self.max_search_tree_depth,
             angular=self._angular_trees,
+            materialize=self.quantization is not None,
         )
         self._search_tree = tree.to_arrays()
+
+    def _init_quantization(self):
+        """Compress the data and swap in the asymmetric quantized search
+        distance (reference pynndescent_.py:2175-2263)."""
+        if self.quantization is None:
+            self._quantized = None
+            return
+        from pynndescent_tpu.ops import quantization as qz
+
+        rs = np.random.RandomState(
+            self.random_state if not isinstance(self.random_state, np.random.RandomState) else None
+        )
+        if self.quantization == "binary":
+            codes = qz.binary_codes(self._raw_data)
+            fn = qz.make_binary_rowwise(self.metric)
+            self._quantized = {"mode": "binary", "codes": codes}
+        elif self.quantization == "uint8":
+            codebook = qz.uint8_codebook(self._raw_data, rs)
+            codes = qz.uint8_codes(self._raw_data, codebook)
+            fn = qz.make_uint8_rowwise(self.metric, codebook)
+            self._quantized = {"mode": "uint8", "codes": codes, "codebook": codebook}
+        elif self.quantization == "uint4":
+            codebook = qz.uint4_codebook(self._raw_data, rs)
+            codes = qz.uint4_codes(self._raw_data, codebook)
+            fn = qz.make_uint4_rowwise(self.metric, codebook, self.dim)
+            self._quantized = {"mode": "uint4", "codes": codes, "codebook": codebook}
+        else:
+            raise ValueError(f"Unknown quantization '{self.quantization}'")
+        self._quantized_rowwise = fn
+        self._quantized_codes_dev = jnp.asarray(self._quantized["codes"])
 
     # ------------------------------------------------------------------
     # query
     # ------------------------------------------------------------------
 
-    def query(self, query_data, k=10, epsilon=0.1):
+    def query(self, query_data, k=10, epsilon=0.1, proxy_beam_size=4):
         """k nearest neighbors of each query point (reference: query,
-        pynndescent_.py:2275). Returns (indices, distances)."""
+        pynndescent_.py:2275). Returns (indices, distances).
+
+        Proxy and quantized metrics over-fetch ``proxy_beam_size * k``
+        candidates and rerank with the true metric (reference :2309-2312,
+        rerank :775)."""
         self.prepare()
-        q = np.ascontiguousarray(np.asarray(query_data, np.float32))
+        from pynndescent_tpu.ops import sparse as sparse_ops
+
+        if sparse_ops.is_sparse(query_data):
+            query_data = sparse_ops.densify(query_data)
+        qdtype = np.uint8 if self._is_bit else np.float32
+        q = np.ascontiguousarray(np.asarray(query_data, qdtype))
         if q.ndim == 1:
             q = q.reshape(1, -1)
         if self.metric in ("cosine", "dot"):
             norms = np.linalg.norm(q, axis=1, keepdims=True)
             q = q / np.where(norms == 0.0, 1.0, norms)
 
-        dist_rowwise = nnd_ops._resolve_rowwise_metric(
-            self._internal_metric, self._internal_metric_kwds
-        )
-        beam = self.beam_width or max(2 * k, 32)
+        is_proxy = self._is_proxy or self._quantized is not None
+        search_k = proxy_beam_size * k if is_proxy else k
+        tree_queries = None
+        min_distance = self._min_distance
+        if self._quantized is not None:
+            cand_X = self._quantized_codes_dev
+            dist_rowwise = self._quantized_rowwise
+            tree_queries = q
+            if self._quantized["mode"] == "binary":
+                search_q = np.packbits((q > 0).astype(np.uint8), axis=1)
+            else:
+                search_q = q
+            min_distance = 0.0
+        else:
+            cand_X = self._X
+            dist_rowwise = nnd_ops._resolve_rowwise_metric(
+                self._internal_metric, self._internal_metric_kwds
+            )
+            search_q = q
+
+        beam = self.beam_width or max(2 * search_k, 32)
         idx, d = search_ops.search(
-            q,
-            self._X,
+            search_q,
+            cand_X,
             self._search_graph,
             self._search_tree,
             rng.derive(self._key, rng.ROLE_SEARCH, 2),
-            k=k,
+            k=search_k,
             epsilon=epsilon,
-            min_distance=self._min_distance,
+            min_distance=min_distance,
             beam_width=beam,
             dist_rowwise=dist_rowwise,
+            tree_queries=tree_queries,
         )
-        if self._distance_correction is not None:
-            d = self._distance_correction(d)
+        if is_proxy:
+            idx, d = self._rerank(q, idx, k)
+        else:
+            idx, d = idx[:, :k], d[:, :k]
+            if self._distance_correction is not None:
+                d = self._distance_correction(d)
         return idx, d
+
+    def _rerank(self, queries, cand_idx, k):
+        """Recompute true distances on the over-fetched candidate set and
+        keep the top k (reference: rerank, pynndescent_.py:775-789)."""
+        true_metric = self._true_metric if self._is_proxy else None
+        if true_metric is None:
+            # quantized index: the true metric is the user's original metric
+            true_metric = dst.named_distances[self.metric] if isinstance(self.metric, str) else self.metric
+
+        name = getattr(true_metric, "__name__", "")
+        if name in ("kantorovich", "sinkhorn"):
+            # host metrics: evaluate exactly on CPU (reference treats these
+            # as expensive exact metrics behind proxies)
+            d = np.full(cand_idx.shape, np.inf, np.float64)
+            for i in range(cand_idx.shape[0]):
+                for j, c in enumerate(cand_idx[i]):
+                    if c >= 0:
+                        d[i, j] = true_metric(
+                            queries[i], self._raw_data[c], **self.metric_kwds
+                        )
+        else:
+            fn = nnd_ops._resolve_rowwise_metric(true_metric, self.metric_kwds)
+            C = jnp.asarray(self._raw_data)[jnp.maximum(jnp.asarray(cand_idx), 0)]
+            d = np.asarray(fn(jnp.asarray(queries, jnp.float32), C))
+            d = np.where(cand_idx < 0, np.inf, d)
+        order = np.argsort(d, axis=1)[:, :k]
+        rows = np.arange(cand_idx.shape[0])[:, None]
+        return cand_idx[rows, order], d[rows, order].astype(np.float32)
 
     # ------------------------------------------------------------------
 

@@ -44,11 +44,12 @@ def _bound(dist_k, epsilon, min_distance):
     static_argnames=("k", "beam_width", "dist_rowwise", "max_steps", "leaf_max", "tree_depth", "tree_angular"),
 )
 def search_block(
-    queries,  # [q, d] (already normalized if required)
-    X,  # [n, d] index data
+    queries,  # [q, d] (already normalized/encoded if required)
+    X,  # [n, d] candidate data (float rows, or quantized codes)
     adj,  # [n, deg_max] padded search-graph adjacency, -1 padding
     tree,  # dict of flat-tree arrays (or None)
     key,
+    tree_queries=None,  # float queries for tree descent (defaults to queries)
     *,
     k: int,
     epsilon: float,
@@ -68,7 +69,8 @@ def search_block(
     cands = []
     if tree is not None:
         coins = jax.random.bits(k_coin, (q,), jnp.uint32)
-        lo, hi = descend_tree(tree, X, queries, coins, tree_depth, tree_angular)
+        tq = queries if tree_queries is None else tree_queries
+        lo, hi = descend_tree(tree, X, tq, coins, tree_depth, tree_angular)
         offs = lo[:, None] + jnp.arange(leaf_max, dtype=jnp.int32)[None, :]
         seed_ids = jnp.where(
             offs < hi[:, None], tree["tree_order"][jnp.minimum(offs, n - 1)], -1
@@ -131,6 +133,7 @@ def search(
     dist_rowwise=None,
     max_steps: int | None = None,
     batch_size: int = 1024,
+    tree_queries=None,
 ):
     """Batched driver over query blocks (pads the final block so one compiled
     program serves any query count)."""
@@ -153,19 +156,25 @@ def search(
             if kk not in ("depth", "angular")
         }
 
+    if tree_queries is not None:
+        tree_queries = jnp.asarray(tree_queries)
     out_idx, out_dist = [], []
     b = min(batch_size, nq)
     for s in range(0, nq, b):
         e = min(s + b, nq)
         blk = queries[s:e]
+        tblk = tree_queries[s:e] if tree_queries is not None else None
         if e - s < b:
             blk = jnp.pad(blk, ((0, b - (e - s)), (0, 0)))
+            if tblk is not None:
+                tblk = jnp.pad(tblk, ((0, b - (e - s)), (0, 0)))
         idx, dist, _ = search_block(
             blk,
             X,
             adj,
             tree_dev,
             jax.random.fold_in(key, s),
+            tree_queries=tblk,
             k=k,
             epsilon=epsilon,
             min_distance=float(min_distance),

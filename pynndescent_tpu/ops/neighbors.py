@@ -51,17 +51,22 @@ def make_neighbor_state(n: int, k: int) -> NeighborState:
 
 def _dedup_keys(idx, dist, age):
     """Sort by (idx, dist, age); mark any entry whose id equals its left
-    neighbor's id as a duplicate. Invalid ids (<0) are pushed to the end."""
+    neighbor's id as a duplicate. Invalid ids (<0) are pushed to the end.
+
+    The age (2 bits) is packed into the id operand — TPU sort compile cost
+    grows steeply with operand count, and ties in (id, dist) resolve by age
+    through the packed key's low bits. Caps ids at 2^29 (~536M points)."""
+    combined = idx * 4 + age
     sort_id = jnp.where(idx < 0, INT32_MAX, idx)
-    s_id, s_dist, s_age, s_idx = jax.lax.sort(
-        (sort_id, dist, age, idx), num_keys=3, dimension=-1
+    s_id, s_dist, s_comb = jax.lax.sort(
+        (sort_id, dist, combined), num_keys=3, dimension=-1
     )
     dup = jnp.concatenate(
         [jnp.zeros(s_id.shape[:-1] + (1,), bool), s_id[..., 1:] == s_id[..., :-1]],
         axis=-1,
     )
     s_dist = jnp.where(dup | (s_id == INT32_MAX), jnp.inf, s_dist)
-    return s_idx, s_dist, s_age
+    return s_comb, s_dist
 
 
 def merge_candidates(
@@ -91,13 +96,13 @@ def merge_candidates(
     )
     # NaN-safe: treat non-finite candidate distances as invalid.
     all_dist = jnp.where(jnp.isnan(all_dist), jnp.inf, all_dist)
-    d_idx, d_dist, d_age = _dedup_keys(all_idx, all_dist, age)
-    m_dist, m_idx, m_age = jax.lax.sort((d_dist, d_idx, d_age), num_keys=1, dimension=-1)
-    new_idx = m_idx[..., :k]
+    d_comb, d_dist = _dedup_keys(all_idx, all_dist, age)
+    m_dist, m_comb = jax.lax.sort((d_dist, d_comb), num_keys=1, dimension=-1)
+    new_idx = m_comb[..., :k] >> 2  # arithmetic shift: -1 ids stay negative
     new_dist = m_dist[..., :k]
     # slots holding dedup-invalidated entries (dist == inf) are empty
     new_idx = jnp.where(jnp.isinf(new_dist), -1, new_idx)
-    new_flag = (m_age[..., :k] >= 1) & (new_idx >= 0)
+    new_flag = ((m_comb[..., :k] & 3) >= 1) & (new_idx >= 0)
     n_changes = jnp.sum((new_idx != idx) & (new_idx >= 0))
     return NeighborState(new_idx, new_dist, new_flag), n_changes
 

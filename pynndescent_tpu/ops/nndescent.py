@@ -57,15 +57,47 @@ from pynndescent_tpu.utils import rng
 DEFAULT_BLOCK_ROWS = 4096
 
 
+def _freeze_kwds(kwds):
+    """Hashable snapshot of metric kwds (arrays -> bytes)."""
+    if not kwds:
+        return ()
+    items = []
+    for k, v in sorted(kwds.items()):
+        a = np.asarray(v)
+        if a.ndim == 0:
+            items.append((k, a.item()))
+        else:
+            items.append((k, (a.shape, str(a.dtype), a.tobytes())))
+    return tuple(items)
+
+
+_ROWWISE_CACHE: dict = {}
+
+
 def _resolve_rowwise_metric(metric, metric_kwds) -> Callable:
-    """Return fn(Q [b, d], C [b, m, d]) -> [b, m] distances."""
+    """Return fn(Q [b, d], C [b, m, d]) -> [b, m] distances.
+
+    The returned closure is cached per (metric, kwds) so it has a stable
+    identity — it is passed to jitted stages as a *static* argument, and a
+    fresh closure per call would defeat jax's trace cache entirely."""
+    try:
+        cache_key = (metric, _freeze_kwds(metric_kwds))
+        cached = _ROWWISE_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
+    except TypeError:
+        cache_key = None
     if callable(metric):
-        fn = metric
+        base = metric
         if metric_kwds:
-            fn = functools.partial(fn, **metric_kwds)
-        return lambda Q, C: fn(Q[:, None, :], C)
-    kwds = metric_kwds or {}
-    return lambda Q, C: dst.pairwise_rowwise(metric, Q, C, **kwds)
+            base = functools.partial(base, **metric_kwds)
+        fn = lambda Q, C: base(Q[:, None, :], C)
+    else:
+        kwds = dict(metric_kwds or {})
+        fn = lambda Q, C: dst.pairwise_rowwise(metric, Q, C, **kwds)
+    if cache_key is not None:
+        _ROWWISE_CACHE[cache_key] = fn
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -83,41 +115,29 @@ def _forward_sample(idx, pri, mask, c):
     return cand, pos, valid
 
 
-def _reverse_sample(idx, pri, mask, n, c):
-    """Reverse-neighbor sampling: for every vertex, pick the c in-edges with
-    smallest random priority — exactly the reference's reverse candidate
-    semantics (utils.py:259-306), computed as one segmented sort instead of
-    the owner-computes scan: sort all directed edges by (target, priority),
-    rank within each target's run, keep ranks < c.
+def _reverse_sample(idx, pri, slot, mask, n, c):
+    """Slot-reservoir reverse sampling: each directed edge (i -> idx[i, l])
+    bids for a random slot in its *target's* candidate row with a random
+    priority; the minimum-priority bid per slot wins.
 
-    Sorts + a provably-unique scatter are TPU-fast; a scatter-min reservoir
-    (the obvious alternative) serialises on collision-unsafe indices.
+    This replaces the reference's owner-computes reverse candidate pass
+    (utils.py:259-306) with one elementwise scatter-min + one gather.
+    (An exact segmented-sort formulation gives identical recall but costs
+    ~40s of XLA sort compilation per shape; the reservoir's scatter-min
+    compiles in ~2s and runs in microseconds.)
 
     Returns (reverse candidates [n, c], per-edge win mask [n, k]).
     """
-    k = idx.shape[1]
-    nk = n * k
-    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], idx.shape).reshape(-1)
-    edge_id = jnp.arange(nk, dtype=jnp.int32)
-    tgt = jnp.where(mask, idx, n).reshape(-1)
-    pri = jnp.where(mask, pri, jnp.inf).reshape(-1)
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], idx.shape)
+    tgt = jnp.where(mask, idx, n)  # dump masked edges on a padding row
+    pri = jnp.where(mask, pri, jnp.inf)
 
-    t_s, p_s, s_s, e_s = jax.lax.sort((tgt, pri, src, edge_id), num_keys=2)
-    posn = jnp.arange(nk, dtype=jnp.int32)
-    is_head = jnp.concatenate([jnp.ones((1,), bool), t_s[1:] != t_s[:-1]])
-    group_start = jax.lax.cummax(jnp.where(is_head, posn, -1))
-    rank = posn - group_start
-    keep = (rank < c) & (t_s < n)
-
-    rows = jnp.where(keep, t_s, n)  # n is out-of-bounds for [n, c] -> dropped
-    cols = jnp.where(keep, rank, 0)
-    rcand = jnp.full((n, c), -1, jnp.int32)
-    rcand = rcand.at[rows, cols].set(s_s, mode="drop", unique_indices=True)
-
-    won_flat = jnp.zeros((nk,), bool).at[jnp.where(keep, e_s, nk)].set(
-        True, mode="drop", unique_indices=True
-    )
-    return rcand, won_flat.reshape(n, k)
+    buf = jnp.full((n + 1, c), jnp.inf, jnp.float32)
+    buf = buf.at[tgt, slot].min(pri)
+    won = (pri == buf[tgt, slot]) & mask
+    rcand = jnp.full((n + 1, c), -1, jnp.int32)
+    rcand = rcand.at[tgt, slot].max(jnp.where(won, src, -1))
+    return rcand[:n], won
 
 
 class CandidateSample(NamedTuple):
@@ -141,10 +161,13 @@ def build_candidates(state: NeighborState, key, max_candidates: int) -> Candidat
     fwd_new, pos_new, sel_new = _forward_sample(state.idx, pri, new_mask, c)
     fwd_old, _, _ = _forward_sample(state.idx, pri, old_mask, c)
 
+    k_rn, k_ro, k_sn, k_so = jax.random.split(k_rn, 4)
     rpri_n = jax.random.uniform(k_rn, (n, k))
     rpri_o = jax.random.uniform(k_ro, (n, k))
-    rev_new, won_new = _reverse_sample(state.idx, rpri_n, new_mask, n, c)
-    rev_old, _ = _reverse_sample(state.idx, rpri_o, old_mask, n, c)
+    slot_n = jax.random.randint(k_sn, (n, k), 0, c, dtype=jnp.int32)
+    slot_o = jax.random.randint(k_so, (n, k), 0, c, dtype=jnp.int32)
+    rev_new, won_new = _reverse_sample(state.idx, rpri_n, slot_n, new_mask, n, c)
+    rev_old, _ = _reverse_sample(state.idx, rpri_o, slot_o, old_mask, n, c)
 
     # Clear flags of new edges consumed this round: forward-sampled ones and
     # reverse winners (reference clears on priority match, utils.py:285-306).
@@ -384,76 +407,52 @@ def nn_descent(
 
     state = init_graph if init_graph is not None else make_neighbor_state(n, k)
 
-    iteration = functools.partial(
-        _descent_iteration,
-        max_candidates=max_candidates,
-        dist_rowwise=dist_rowwise,
-        block_rows=block_rows,
-        hop2_new_samples=hop2_new_samples,
-        hop2_old_samples=hop2_old_samples,
-    )
-    stop_count = jnp.float32(delta * k * n)
-
-    if verbose:
-        # observable per-iteration path (one compile per stage, host loop)
-        if forest is not None and rp_tree_init:
-            orders, starts, sizes = forest
-            tree_init_fn = jax.jit(
-                functools.partial(
-                    init_from_tree_order, dist_rowwise=dist_rowwise, leaf_cap=leaf_cap
-                )
-            )
-            for t in range(orders.shape[0]):
-                state = tree_init_fn(state, X, orders[t], starts[t], sizes[t])
-        state = jax.jit(
-            functools.partial(init_random, n_extra=k, dist_rowwise=dist_rowwise)
-        )(state, X, rng.derive(key, rng.ROLE_DESCENT_INIT))
-        iteration = jax.jit(iteration)
-        for it in range(n_iters):
-            state, changes = iteration(state, X, rng.derive(key, rng.ROLE_DESCENT_ITER, it))
-            print(f"\t{it + 1}  /  {n_iters}  (changes: {int(changes)})")
-            if int(changes) <= float(stop_count):
-                print(f"\tStopping threshold met -- exiting after {it + 1} iterations")
-                break
-        return sort_by_distance(state.idx, state.dist)
-
-    # fused single-program build: leaf init over all trees + random init +
-    # early-exiting descent loop, one XLA compile, no host round-trips
-    # (the eager/dispatch overhead of a staged build dominates actual TPU
-    # compute by orders of magnitude on tunneled devices)
-    @functools.partial(jax.jit, static_argnames=("has_forest",))
-    def _build(state, X, forest, key, has_forest):
-        if has_forest:
-            orders, starts, sizes = forest
-            n_trees = orders.shape[0]
-
-            def tree_body(t, st):
-                return init_from_tree_order(
-                    st, X, orders[t], starts[t], sizes[t],
-                    dist_rowwise=dist_rowwise, leaf_cap=leaf_cap,
-                )
-
-            state = jax.lax.fori_loop(0, n_trees, tree_body, state)
-        state = init_random(
-            state, X, rng.derive(key, rng.ROLE_DESCENT_INIT),
-            n_extra=k, dist_rowwise=dist_rowwise,
-        )
-
-        def cond(carry):
-            st, it, changes = carry
-            return (it < n_iters) & (changes > stop_count)
-
-        def body(carry):
-            st, it, _ = carry
-            st, ch = iteration(st, X, rng.derive(key, rng.ROLE_DESCENT_ITER, it))
-            return st, it + 1, ch.astype(jnp.float32)
-
-        state, n_done, _ = jax.lax.while_loop(
-            cond, body, (state, jnp.int32(0), jnp.float32(np.inf))
-        )
-        idx, dist = sort_by_distance(state.idx, state.dist)
-        return idx, dist
-
+    # Staged jitted pipeline: each stage is a module-level jit with static
+    # config, so identical configs reuse traces in-process and the persistent
+    # XLA cache across processes. (A fully fused single program was tried and
+    # costs several minutes of XLA compilation; staged compiles are ~10x
+    # cheaper for identical device time, since runtime is dispatch-light.)
     if forest is not None and rp_tree_init:
-        return _build(state, X, tuple(forest), key, has_forest=True)
-    return _build(state, X, None, key, has_forest=False)
+        orders, starts, sizes = forest
+        for t in range(int(orders.shape[0])):
+            state = _jit_tree_init(
+                state, X, orders[t], starts[t], sizes[t],
+                dist_rowwise=dist_rowwise, leaf_cap=leaf_cap,
+            )
+    state = _jit_init_random(
+        state, X, rng.derive(key, rng.ROLE_DESCENT_INIT),
+        n_extra=k, dist_rowwise=dist_rowwise,
+    )
+
+    stop_count = delta * k * n
+    for it in range(n_iters):
+        state, changes = _jit_iteration(
+            state, X, rng.derive(key, rng.ROLE_DESCENT_ITER, it),
+            max_candidates=max_candidates,
+            dist_rowwise=dist_rowwise,
+            block_rows=min(block_rows, n),
+            hop2_new_samples=hop2_new_samples,
+            hop2_old_samples=hop2_old_samples,
+        )
+        if verbose:
+            print(f"\t{it + 1}  /  {n_iters}  (changes: {int(changes)})")
+        if int(changes) <= stop_count:
+            if verbose:
+                print(f"\tStopping threshold met -- exiting after {it + 1} iterations")
+            break
+
+    return _jit_sort(state.idx, state.dist)
+
+
+_jit_tree_init = jax.jit(
+    init_from_tree_order, static_argnames=("dist_rowwise", "leaf_cap", "block_rows")
+)
+_jit_init_random = jax.jit(init_random, static_argnames=("n_extra", "dist_rowwise"))
+_jit_iteration = jax.jit(
+    _descent_iteration,
+    static_argnames=(
+        "max_candidates", "dist_rowwise", "block_rows",
+        "hop2_new_samples", "hop2_old_samples",
+    ),
+)
+_jit_sort = jax.jit(sort_by_distance)

@@ -223,7 +223,8 @@ class FlatTree:
     tree_order i32[n] — points grouped by leaf
     """
 
-    def __init__(self, a_pt, b_pt, child, leaf_lo, leaf_hi, tree_order, depth, angular):
+    def __init__(self, a_pt, b_pt, child, leaf_lo, leaf_hi, tree_order, depth, angular,
+                 hyper=None, offset=None):
         self.a_pt = a_pt
         self.b_pt = b_pt
         self.child = child
@@ -232,6 +233,12 @@ class FlatTree:
         self.tree_order = tree_order
         self.depth = int(depth)
         self.angular = bool(angular)
+        # optional materialized hyperplanes [n_nodes, d] + offsets [n_nodes]:
+        # used when the raw float data is unavailable at query time
+        # (quantized indexes) — mirrors the reference's explicit FlatTree
+        # hyperplane storage (rp_trees.py:27-29)
+        self.hyper = hyper
+        self.offset = offset
         self.leaf_max = (
             int(np.max(np.asarray(leaf_hi) - np.asarray(leaf_lo)))
             if len(np.asarray(leaf_lo))
@@ -239,7 +246,7 @@ class FlatTree:
         )
 
     def to_arrays(self):
-        return dict(
+        d = dict(
             a_pt=np.asarray(self.a_pt),
             b_pt=np.asarray(self.b_pt),
             child=np.asarray(self.child),
@@ -249,12 +256,17 @@ class FlatTree:
             depth=self.depth,
             angular=self.angular,
         )
+        if self.hyper is not None:
+            d["hyper"] = np.asarray(self.hyper)
+            d["offset"] = np.asarray(self.offset)
+        return d
 
     @classmethod
     def from_arrays(cls, d):
         return cls(
             d["a_pt"], d["b_pt"], d["child"], d["leaf_lo"], d["leaf_hi"],
             d["tree_order"], d["depth"], d["angular"],
+            hyper=d.get("hyper"), offset=d.get("offset"),
         )
 
 
@@ -297,8 +309,12 @@ def _np_hash_mod(a, b, c, mod):
 
 
 def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
-                        angular: bool = False) -> FlatTree:
-    """Build one RP tree on device and flatten it to query-descent arrays."""
+                        angular: bool = False, materialize: bool = False) -> FlatTree:
+    """Build one RP tree on device and flatten it to query-descent arrays.
+
+    With ``materialize=True`` the per-node hyperplanes/offsets are stored
+    explicitly so query descent does not need the float data (quantized
+    indexes)."""
     n = X.shape[0]
     if max_depth is None:
         max_depth = forest_depth(n, leaf_size)
@@ -356,6 +372,21 @@ def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
                 node_id(level + 1, s, n_left),
                 node_id(level + 1, s + n_left, sz - n_left),
             ]
+    hyper = offset = None
+    if materialize:
+        Xh = np.asarray(X, np.float32)
+        a = np.asarray(a_pt, np.int64)
+        b = np.asarray(b_pt, np.int64)
+        xa = Xh[a]
+        xb = Xh[b]
+        if angular:
+            na = np.maximum(np.linalg.norm(xa, axis=1, keepdims=True), 1e-8)
+            nb = np.maximum(np.linalg.norm(xb, axis=1, keepdims=True), 1e-8)
+            hyper = (xa / na - xb / nb).astype(np.float32)
+            offset = np.zeros(len(a), np.float32)
+        else:
+            hyper = (xa - xb).astype(np.float32)
+            offset = np.sum(hyper * (xa + xb) * 0.5, axis=1).astype(np.float32)
     return FlatTree(
         np.asarray(a_pt, np.int32),
         np.asarray(b_pt, np.int32),
@@ -365,6 +396,8 @@ def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
         order_snaps[-1].astype(np.int32),
         max_depth,
         angular,
+        hyper=hyper,
+        offset=offset,
     )
 
 
@@ -379,23 +412,29 @@ def descend_tree(tree_arrays, X, queries, coins, depth: int, angular: bool = Fal
     q = queries.shape[0]
     node = jnp.zeros(q, jnp.int32)
 
-    if angular:
+    if angular and "hyper" not in tree_arrays:
         norms = jnp.linalg.norm(X, axis=-1)
 
+    has_planes = "hyper" in tree_arrays
+
     def body(level, node):
-        a = a_pt[node]
-        b = b_pt[node]
-        xa = X[a]
-        xb = X[b]
-        if angular:
-            na = jnp.maximum(norms[a], 1e-8)[:, None]
-            nb = jnp.maximum(norms[b], 1e-8)[:, None]
-            hyper = xa / na - xb / nb
-            margin = jnp.sum(queries * hyper, axis=-1)
+        if has_planes:
+            hyper = tree_arrays["hyper"][node]
+            margin = jnp.sum(queries * hyper, axis=-1) - tree_arrays["offset"][node]
         else:
-            hyper = xa - xb
-            offset = jnp.sum(hyper * (xa + xb) * 0.5, axis=-1)
-            margin = jnp.sum(queries * hyper, axis=-1) - offset
+            a = a_pt[node]
+            b = b_pt[node]
+            xa = X[a]
+            xb = X[b]
+            if angular:
+                na = jnp.maximum(norms[a], 1e-8)[:, None]
+                nb = jnp.maximum(norms[b], 1e-8)[:, None]
+                hyper = xa / na - xb / nb
+                margin = jnp.sum(queries * hyper, axis=-1)
+            else:
+                hyper = xa - xb
+                offset = jnp.sum(hyper * (xa + xb) * 0.5, axis=-1)
+                margin = jnp.sum(queries * hyper, axis=-1) - offset
         coin = ((coins >> jnp.uint32(level % 32)) & 1).astype(bool)
         side = jnp.where(margin > 0, True, jnp.where(margin < 0, False, coin))
         return child[node, side.astype(jnp.int32)]

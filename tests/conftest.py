@@ -17,11 +17,10 @@ import jax
 # jax may already be imported by a pytest plugin, in which case it captured
 # JAX_PLATFORMS at import time — override through the config as well.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: the persistent compilation cache is deliberately NOT enabled here —
+# XLA:CPU AOT cache entries are machine-feature-specific and a poisoned
+# entry silently produces WRONG numerics (observed: shard-invariance test
+# failing only under a stale cache). The TPU bench path enables it safely.
 
 import numpy as np
 import pytest

@@ -1,0 +1,88 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded build runs,
+matches the single-device result bit-for-bit (shard invariance), and the
+graft entry points work."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_build_shard_equivalence(nn_data):
+    """The sharded build must be statistically equivalent to the
+    single-device build. (Bit-identity is NOT guaranteed: the SPMD
+    executable's float reduction order differs by ulps, and near-tied
+    distances legitimately flip marginal k-th neighbors.)"""
+    from pynndescent_tpu.ops import nndescent as nnd_ops
+    from pynndescent_tpu.parallel import make_mesh, sharded_nn_descent
+    from pynndescent_tpu.utils import rng
+
+    data = nn_data[:1000]  # divisible by 8
+    k = 8
+    key = rng.state_from_seed(5)
+    mesh = make_mesh(8)
+    idx_s, dist_s = sharded_nn_descent(data, k, key, mesh, n_iters=5, block_rows=250)
+    idx_1, dist_1 = nnd_ops.nn_descent(
+        data, k, key, n_iters=5, block_rows=250,
+        metric="euclidean",
+    )
+    idx_s, idx_1 = np.asarray(idx_s), np.asarray(idx_1)
+    overlap = np.mean(
+        [len(np.intersect1d(idx_s[i], idx_1[i])) / k for i in range(len(data))]
+    )
+    assert overlap >= 0.95, f"sharded/single neighbor overlap {overlap}"
+    # k-th neighbor distances agree closely on average (individual rows may
+    # differ where the two executables discovered different marginal
+    # neighbors of nearly equal distance)
+    a = np.sort(np.asarray(dist_s), 1)[:, k - 1]
+    b = np.sort(np.asarray(dist_1), 1)[:, k - 1]
+    rel = np.abs(a - b) / np.maximum(b, 1e-12)
+    assert np.mean(rel) < 0.02, f"mean kth-distance deviation {np.mean(rel)}"
+
+
+def test_sharded_build_recall(nn_data):
+    from sklearn.neighbors import NearestNeighbors
+
+    from pynndescent_tpu.ops import rp_trees
+    from pynndescent_tpu.parallel import make_mesh, sharded_nn_descent
+    from pynndescent_tpu.utils import rng
+
+    data = nn_data[:1000]
+    k = 10
+    key = rng.state_from_seed(42)
+    mesh = make_mesh(8)
+    forest = rp_trees.build_forest_orders(
+        data, np.arange(4, dtype=np.uint32), 60, rp_trees.forest_depth(1000, 60)
+    )
+    idx, _ = sharded_nn_descent(data, k, key, mesh, forest=forest, block_rows=250)
+    idx = np.asarray(idx)
+    nn = NearestNeighbors(n_neighbors=k).fit(data)
+    true_idx = nn.kneighbors(data, k, return_distance=False)
+    recall = np.mean(
+        [len(np.intersect1d(idx[i, :k], true_idx[i])) / k for i in range(1000)]
+    )
+    assert recall >= 0.98, f"sharded build recall {recall}"
+
+
+def test_graft_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out[0].idx)
+
+
+def test_graft_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
