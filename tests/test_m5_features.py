@@ -1,0 +1,146 @@
+"""M5 long-tail features: sparse input, bit-packed metrics, quantization,
+proxy metrics, metric kwds, degree-aware diversify
+(mirrors reference tests/test_pynndescent_.py:56-130, 205-232)."""
+
+import numpy as np
+import pytest
+from scipy import sparse
+from sklearn.neighbors import NearestNeighbors
+
+from pynndescent_tpu import NNDescent
+
+
+def _recall(indices, true_indices):
+    n, k = true_indices.shape
+    return (
+        sum(len(np.intersect1d(indices[i, :k], true_indices[i])) for i in range(n))
+        / (n * k)
+    )
+
+
+def test_sparse_build_recall(sparse_nn_data):
+    k = 20
+    index = NNDescent(sparse_nn_data, n_neighbors=k, random_state=42)
+    idx, _ = index.neighbor_graph
+    dense = sparse_nn_data.toarray()
+    nn = NearestNeighbors(n_neighbors=10).fit(dense)
+    true_idx = nn.kneighbors(dense, 10, return_distance=False)
+    recall = _recall(idx[:, :10], true_idx)
+    # reference floor for the sparse path (tests/test_pynndescent_.py:105-107)
+    assert recall >= 0.85, f"sparse build recall {recall}"
+
+
+def test_sparse_cosine_build_recall(sparse_nn_data):
+    k = 20
+    index = NNDescent(sparse_nn_data, metric="cosine", n_neighbors=k, random_state=42)
+    idx, _ = index.neighbor_graph
+    dense = sparse_nn_data.toarray()
+    nn = NearestNeighbors(n_neighbors=10, metric="cosine").fit(dense)
+    true_idx = nn.kneighbors(dense, 10, return_distance=False)
+    recall = _recall(idx[:, :10], true_idx)
+    assert recall >= 0.85, f"sparse cosine build recall {recall}"
+
+
+def test_sparse_query(sparse_nn_data):
+    # reference parameters: build n_neighbors=15, query epsilon=0.24
+    # (tests/test_pynndescent_.py:167-184)
+    train = sparse_nn_data[200:]
+    queries = sparse_nn_data[:200]
+    index = NNDescent(train, n_neighbors=15, random_state=42)
+    idx, dist = index.query(queries, k=10, epsilon=0.24)
+    assert idx.shape == (200, 10)
+    dense_train = train.toarray()
+    dense_q = queries.toarray()
+    nn = NearestNeighbors(n_neighbors=10).fit(dense_train)
+    true_idx = nn.kneighbors(dense_q, 10, return_distance=False)
+    recall = _recall(idx, true_idx)
+    assert recall >= 0.9, f"sparse query recall {recall}"
+
+
+def test_bit_hamming_build():
+    rs = np.random.RandomState(42)
+    raw = rs.choice([0, 1], size=(600, 64), p=[0.5, 0.5]).astype(np.uint8)
+    packed = np.packbits(raw, axis=1)
+    index = NNDescent(packed, metric="bit_hamming", n_neighbors=10, random_state=42)
+    idx, dist = index.neighbor_graph
+    nn = NearestNeighbors(n_neighbors=10, metric="hamming").fit(raw)
+    true_idx = nn.kneighbors(raw, 10, return_distance=False)
+    recall = _recall(idx, true_idx)
+    # reference floor for bit metrics is 0.6 (tests/test_pynndescent_.py:77-79)
+    assert recall >= 0.6, f"bit_hamming build recall {recall}"
+
+
+def test_bit_jaccard_build_and_query():
+    rs = np.random.RandomState(42)
+    raw = rs.choice([0, 1], size=(600, 64), p=[0.6, 0.4]).astype(np.uint8)
+    packed = np.packbits(raw, axis=1)
+    index = NNDescent(packed, metric="bit_jaccard", n_neighbors=10, random_state=42)
+    idx, _ = index.neighbor_graph
+    nn = NearestNeighbors(n_neighbors=10, metric="jaccard").fit(raw.astype(bool))
+    true_idx = nn.kneighbors(raw.astype(bool), 10, return_distance=False)
+    assert _recall(idx, true_idx) >= 0.6
+    qidx, _ = index.query(packed[:20], k=5)
+    assert qidx.shape == (20, 5)
+
+
+@pytest.mark.parametrize("quantization", ["binary", "uint8", "uint4"])
+def test_quantized_query(nn_data, quantization):
+    train = nn_data[200:]
+    queries = nn_data[:200]
+    index = NNDescent(
+        train, n_neighbors=10, random_state=42, quantization=quantization
+    )
+    idx, dist = index.query(queries, k=10, epsilon=0.2)
+    nn = NearestNeighbors(n_neighbors=10).fit(train)
+    true_d, true_idx = nn.kneighbors(queries, 10)
+    recall = _recall(idx, true_idx)
+    floor = 0.5 if quantization == "binary" else 0.85
+    assert recall >= floor, f"{quantization} query recall {recall}"
+    # reranked distances are true euclidean
+    d0 = np.linalg.norm(train[idx[0]] - queries[0], axis=1)
+    np.testing.assert_allclose(np.sort(dist[0]), np.sort(d0), rtol=1e-3, atol=1e-3)
+
+
+def test_proxy_metric_query(nn_data):
+    train = np.abs(nn_data[200:500]) + 0.01
+    queries = np.abs(nn_data[:50]) + 0.01
+    index = NNDescent(
+        train, metric="proxy_jensen_shannon", n_neighbors=10, random_state=42
+    )
+    idx, dist = index.query(queries, k=5, epsilon=0.2)
+    assert idx.shape == (50, 5)
+    # distances are true jensen-shannon after rerank
+    import pynndescent_tpu.ops.distances as dst
+
+    expected = np.asarray(
+        dst.jensen_shannon_divergence(queries[0][None, :], train[idx[0]])
+    )
+    np.testing.assert_allclose(np.sort(dist[0]), np.sort(expected), rtol=1e-3, atol=1e-4)
+
+
+def test_metric_kwds_minkowski(nn_data):
+    k = 8
+    index = NNDescent(
+        nn_data[:400], metric="minkowski", metric_kwds={"p": 3}, n_neighbors=k,
+        random_state=42,
+    )
+    idx, dist = index.neighbor_graph
+    nn = NearestNeighbors(n_neighbors=k, metric="minkowski", p=3).fit(nn_data[:400])
+    true_idx = nn.kneighbors(nn_data[:400], k, return_distance=False)
+    assert _recall(idx, true_idx) >= 0.95
+
+
+def test_degree_aware_diversify(nn_data):
+    index = NNDescent(
+        nn_data, n_neighbors=10, random_state=42, diversify_method="degree_aware"
+    )
+    index.prepare()
+    idx, _ = index.query(nn_data[:50], k=5, epsilon=0.2)
+    assert idx.shape == (50, 5)
+
+
+def test_diversify_prob(nn_data):
+    index = NNDescent(nn_data, n_neighbors=10, random_state=42, diversify_prob=0.5)
+    index.prepare()
+    idx, _ = index.query(nn_data[:50], k=5, epsilon=0.2)
+    assert idx.shape == (50, 5)
