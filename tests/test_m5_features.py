@@ -85,12 +85,23 @@ def test_bit_jaccard_build_and_query():
 
 @pytest.mark.parametrize("quantization", ["binary", "uint8", "uint4"])
 def test_quantized_query(nn_data, quantization):
-    train = nn_data[200:]
-    queries = nn_data[:200]
+    if quantization == "binary":
+        # sign-bit codes need centered data (the >0 threshold is degenerate
+        # on uniform(0,1) inputs — same in the reference, :2178)
+        rs = np.random.RandomState(189212)
+        data = rs.randn(1000, 64).astype(np.float32)
+        train, queries = data[200:], data[:200]
+    else:
+        train = nn_data[200:]
+        queries = nn_data[:200]
     index = NNDescent(
         train, n_neighbors=10, random_state=42, quantization=quantization
     )
-    idx, dist = index.query(queries, k=10, epsilon=0.2)
+    # binary codes are a coarse proxy: over-fetch more and let the true-metric
+    # rerank recover (reference uses epsilon=0.36 and larger indexes for
+    # bit-packed search, tests/test_pynndescent_.py:205-232)
+    pbs = 16 if quantization == "binary" else 4
+    idx, dist = index.query(queries, k=10, epsilon=0.3, proxy_beam_size=pbs)
     nn = NearestNeighbors(n_neighbors=10).fit(train)
     true_d, true_idx = nn.kneighbors(queries, 10)
     recall = _recall(idx, true_idx)
