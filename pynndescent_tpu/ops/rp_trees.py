@@ -256,6 +256,7 @@ class FlatTree:
             depth=self.depth,
             angular=self.angular,
         )
+        d["leaf_size"] = getattr(self, "leaf_size_cfg", 0)
         if self.hyper is not None:
             d["hyper"] = np.asarray(self.hyper)
             d["offset"] = np.asarray(self.offset)
@@ -372,6 +373,7 @@ def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
                 node_id(level + 1, s, n_left),
                 node_id(level + 1, s + n_left, sz - n_left),
             ]
+    tree_leaf_size = leaf_size
     hyper = offset = None
     if materialize:
         Xh = np.asarray(X, np.float32)
@@ -387,7 +389,7 @@ def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
         else:
             hyper = (xa - xb).astype(np.float32)
             offset = np.sum(hyper * (xa + xb) * 0.5, axis=1).astype(np.float32)
-    return FlatTree(
+    tree = FlatTree(
         np.asarray(a_pt, np.int32),
         np.asarray(b_pt, np.int32),
         np.asarray(child, np.int32),
@@ -399,6 +401,8 @@ def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
         hyper=hyper,
         offset=offset,
     )
+    tree.leaf_size_cfg = tree_leaf_size
+    return tree
 
 
 def descend_tree(tree_arrays, X, queries, coins, depth: int, angular: bool = False):
