@@ -144,6 +144,14 @@ def kantorovich(x, y, cost=None, max_iter=100000):
     b = b / b.sum()
     sub_cost = cost[row_mask][:, col_mask]
 
+    # native C++ successive-shortest-paths solver (pynndescent_tpu.native);
+    # falls through to the HiGHS LP when unavailable
+    from pynndescent_tpu import native
+
+    val = native.emd_dense(a, b, sub_cost)
+    if val is not None:
+        return val
+
     n1, n2 = sub_cost.shape
     if n1 == 1:
         return float(np.dot(sub_cost[0], b))

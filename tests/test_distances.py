@@ -260,3 +260,31 @@ def test_zero_vector_semantics():
     assert float(dist.hellinger(z, np.abs(v))) == 1.0
     assert float(dist.alternative_cosine(z, v)) == dist.FLOAT32_MAX
     assert float(dist.bray_curtis(z, z)) == 0.0
+
+
+def test_native_transport_matches_lp():
+    """The C++ successive-shortest-paths EMD equals the exact LP solution."""
+    from pynndescent_tpu import native
+    from pynndescent_tpu.ops import optimal_transport as ot
+
+    if not native.have_native_transport():
+        pytest.skip("native transport unavailable")
+    rs = np.random.RandomState(3)
+    for trial in range(10):
+        n1 = rs.randint(2, 20)
+        n2 = rs.randint(2, 20)
+        a = rs.uniform(0.01, 1, n1)
+        b = rs.uniform(0.01, 1, n2)
+        a /= a.sum()
+        b /= b.sum()
+        cost = rs.uniform(0, 5, (n1, n2))
+        got = native.emd_dense(a, b, cost)
+        # exact LP reference
+        from scipy.optimize import linprog
+
+        A_eq = ot._transport_constraints(n1, n2)
+        res = linprog(
+            cost.ravel(), A_eq=A_eq, b_eq=np.concatenate([a, b[:-1]]),
+            bounds=(0, None), method="highs",
+        )
+        assert got == pytest.approx(res.fun, rel=1e-6, abs=1e-9), f"trial {trial}"
