@@ -353,6 +353,10 @@ class NNDescent:
                 )
             )
         )
+        # graph-informed hub search tree: anchors are high-degree members
+        # (reference make_hub_tree, rp_trees.py:1233)
+        idx0, _ = self._neighbor_graph
+        degrees = np.asarray(prune_ops.compute_degrees(jnp.asarray(idx0)))
         tree = rp_trees.flatten_search_tree(
             self._X,
             seed,
@@ -361,6 +365,7 @@ class NNDescent:
             max_depth=self.max_search_tree_depth,
             angular=self._angular_trees,
             materialize=self.quantization is not None,
+            degrees=degrees,
         )
         self._search_tree = tree.to_arrays()
 

@@ -94,17 +94,50 @@ def _segment_cumsum_stats(values, start, size):
     return prefix_excl, total
 
 
-def _split_level(X, norms, order, start, size, level, seed, leaf_size, angular):
+def _hub_anchor_offsets(order, start, size, level, seed, degrees, n):
+    """Graph-informed anchor choice (the reference's hub trees,
+    rp_trees.py:680-2170, pick top-in-degree members and split on hub-pair
+    hyperplanes): sample 4 member offsets per node by counter hash and keep
+    the two with the highest global degree. Deterministic and shared by all
+    node members, like the random variant."""
+    offs = []
+    degs = []
+    for smp in range(4):
+        o = _hash_mod(
+            seed, jnp.uint32(level * 8 + smp + 1), start.astype(jnp.uint32), size
+        )
+        p = order[jnp.clip(start + o, 0, n - 1)]
+        d = degrees[p].astype(jnp.int32)
+        for prev in offs:  # duplicate offsets must not be picked twice
+            d = jnp.where(o == prev, -1, d)
+        offs.append(o)
+        degs.append(d)
+    offs = jnp.stack(offs)  # [4, n]
+    degs = jnp.stack(degs)
+    a_sel = jnp.argmax(degs, axis=0)
+    a_off = jnp.take_along_axis(offs, a_sel[None], axis=0)[0]
+    degs2 = degs.at[a_sel, jnp.arange(offs.shape[1])].set(-2)
+    b_sel = jnp.argmax(degs2, axis=0)
+    b_off = jnp.take_along_axis(offs, b_sel[None], axis=0)[0]
+    b_off = jnp.where(b_off == a_off, (a_off + 1) % jnp.maximum(size, 1), b_off)
+    return a_off, b_off
+
+
+def _split_level(X, norms, order, start, size, level, seed, leaf_size, angular,
+                 degrees=None):
     """Split every active node at one level. Returns updated (order, start, size)."""
     n = X.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     done = size <= leaf_size
 
-    # --- choose two distinct random anchor offsets per node (shared by all
-    # members via the (seed, level, start) hash) -----------------------------
-    a_off = _hash_mod(seed, jnp.uint32(level * 2 + 1), start.astype(jnp.uint32), size)
-    b_off = _hash_mod(seed, jnp.uint32(level * 2 + 2), start.astype(jnp.uint32), jnp.maximum(size - 1, 1))
-    b_off = jnp.where(b_off >= a_off, b_off + 1, b_off)
+    # --- choose two distinct anchor offsets per node (shared by all members
+    # via the (seed, level, start) hash); hub-aware when degrees given ------
+    if degrees is not None:
+        a_off, b_off = _hub_anchor_offsets(order, start, size, level, seed, degrees, n)
+    else:
+        a_off = _hash_mod(seed, jnp.uint32(level * 2 + 1), start.astype(jnp.uint32), size)
+        b_off = _hash_mod(seed, jnp.uint32(level * 2 + 2), start.astype(jnp.uint32), jnp.maximum(size - 1, 1))
+        b_off = jnp.where(b_off >= a_off, b_off + 1, b_off)
     b_off = jnp.minimum(b_off, size - 1)
 
     a_pt = order[jnp.clip(start + a_off, 0, n - 1)]
@@ -272,9 +305,11 @@ class FlatTree:
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "max_depth", "angular"))
-def build_tree_trace(X, seed, leaf_size: int, max_depth: int, angular: bool = False):
+def build_tree_trace(X, seed, leaf_size: int, max_depth: int, angular: bool = False,
+                     degrees=None):
     """Like build_tree_order but returns per-level snapshots of
-    (order, start, size) entering each level, for host-side flattening."""
+    (order, start, size) entering each level, for host-side flattening.
+    With ``degrees`` the splits are hub-aware (graph-informed search tree)."""
     n = X.shape[0]
     norms = jnp.linalg.norm(X, axis=-1) if angular else jnp.zeros((n,), X.dtype)
     order = jnp.arange(n, dtype=jnp.int32)
@@ -283,7 +318,8 @@ def build_tree_trace(X, seed, leaf_size: int, max_depth: int, angular: bool = Fa
 
     def step(carry, level):
         order, start, size = carry
-        new = _split_level(X, norms, order, start, size, level, seed, leaf_size, angular)
+        new = _split_level(X, norms, order, start, size, level, seed, leaf_size, angular,
+                           degrees=degrees)
         return new, carry
 
     (order, start, size), snaps = jax.lax.scan(
@@ -309,8 +345,30 @@ def _np_hash_mod(a, b, c, mod):
     return (h % np.uint32(max(int(mod), 1))).astype(np.int64)
 
 
+def _np_hub_anchor_offsets(order_level, s0, sz, level, seed, degrees):
+    """numpy mirror of _hub_anchor_offsets for one node (host flattening)."""
+    offs, degs = [], []
+    for smp in range(4):
+        o = int(_np_hash_mod(seed, level * 8 + smp + 1, s0, sz))
+        p = int(order_level[min(s0 + o, len(order_level) - 1)])
+        d = int(degrees[p])
+        for prev in offs:
+            if o == prev:
+                d = -1
+        offs.append(o)
+        degs.append(d)
+    a_sel = int(np.argmax(degs))
+    a_off = offs[a_sel]
+    degs[a_sel] = -2
+    b_off = offs[int(np.argmax(degs))]
+    if b_off == a_off:
+        b_off = (a_off + 1) % max(sz, 1)
+    return a_off, min(b_off, sz - 1)
+
+
 def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
-                        angular: bool = False, materialize: bool = False) -> FlatTree:
+                        angular: bool = False, materialize: bool = False,
+                        degrees=None) -> FlatTree:
     """Build one RP tree on device and flatten it to query-descent arrays.
 
     With ``materialize=True`` the per-node hyperplanes/offsets are stored
@@ -319,10 +377,14 @@ def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
     n = X.shape[0]
     if max_depth is None:
         max_depth = forest_depth(n, leaf_size)
+    dg = None if degrees is None else jnp.asarray(degrees)
     order_snaps, start_snaps, size_snaps = jax.device_get(
-        build_tree_trace(jnp.asarray(X), jnp.uint32(seed), leaf_size, max_depth, angular)
+        build_tree_trace(
+            jnp.asarray(X), jnp.uint32(seed), leaf_size, max_depth, angular, degrees=dg
+        )
     )
     seed = int(seed)
+    degrees_np = None if degrees is None else np.asarray(degrees)
 
     a_pt, b_pt, child, leaf_lo, leaf_hi = [], [], [], [], []
     # BFS over (level, start, size) nodes
@@ -357,11 +419,16 @@ def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
             leaf_lo[i] = s
             leaf_hi[i] = s + sz
             continue
-        a_off = _np_hash_mod(seed, 2 * level + 1, s, sz)
-        b_off = _np_hash_mod(seed, 2 * level + 2, s, max(sz - 1, 1))
-        if b_off >= a_off:
-            b_off += 1
-        b_off = min(b_off, sz - 1)
+        if degrees_np is not None:
+            a_off, b_off = _np_hub_anchor_offsets(
+                order_snaps[level], s, sz, level, seed, degrees_np
+            )
+        else:
+            a_off = _np_hash_mod(seed, 2 * level + 1, s, max(sz, 1))
+            b_off = _np_hash_mod(seed, 2 * level + 2, s, max(sz - 1, 1))
+            if b_off >= a_off:
+                b_off += 1
+            b_off = min(b_off, sz - 1)
         a_pt[i] = int(order_snaps[level][s + a_off])
         b_pt[i] = int(order_snaps[level][s + b_off])
         n_left = int(size_snaps[level + 1][s]) if int(start_snaps[level + 1][s]) == s else 0

@@ -89,3 +89,31 @@ def test_small_data_single_leaf(small_data):
     assert int(np.asarray(size)[0]) == n
     leaves = leaf_arrays_from_order(order, start, size)
     assert leaves.shape[0] == 1
+
+
+def test_flat_tree_descent_consistency(nn_data):
+    """Descending a training point through the flattened tree must land in
+    the leaf that contains it — verifies the host flattening mirrors the
+    device build exactly (hash functions, split boundaries, anchors)."""
+    import jax.numpy as jnp
+    from pynndescent_tpu.ops.rp_trees import flatten_search_tree, descend_tree
+
+    tree = flatten_search_tree(nn_data, seed=97, leaf_size=40)
+    arrays = tree.to_arrays()
+    order = arrays["tree_order"]
+    pos_of = np.empty(len(order), np.int64)
+    pos_of[order] = np.arange(len(order))
+    tree_dev = {
+        k: jnp.asarray(v) for k, v in arrays.items() if k not in ("depth", "angular", "leaf_size")
+    }
+    queries = jnp.asarray(nn_data[:256])
+    coins = jnp.zeros(256, jnp.uint32)
+    lo, hi = descend_tree(tree_dev, jnp.asarray(nn_data), queries, coins, arrays["depth"])
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    ok = 0
+    for i in range(256):
+        p = pos_of[i]
+        ok += int(lo[i] <= p < hi[i])
+    # margin==0 coin flips can diverge between build and query for points on
+    # a splitting hyperplane; require near-total agreement
+    assert ok >= 250, f"only {ok}/256 points landed in their own leaf"
