@@ -83,6 +83,7 @@ class NNDescent:
         *,
         block_rows=nnd_ops.DEFAULT_BLOCK_ROWS,
         beam_width=None,
+        search_dtype="bfloat16",
     ):
         self.n_neighbors = n_neighbors
         self.metric = metric
@@ -106,6 +107,7 @@ class NNDescent:
         self.random_state = random_state
         self.block_rows = block_rows
         self.beam_width = beam_width
+        self.search_dtype = search_dtype
 
         # dtype policy (reference pynndescent_.py:1041-1057): f32 C-order
         # dense (CSR densified — see ops.sparse), u8 for bit-packed metrics
@@ -338,6 +340,16 @@ class NNDescent:
         self._min_distance = float(min_dist)
         self._search_graph = adj
         self._init_quantization()
+        # bfloat16 copy for search gathers (halved HBM traffic); results are
+        # exact-reranked in query(). Disabled for bit/quantized data.
+        if (
+            self.search_dtype == "bfloat16"
+            and not self._is_bit
+            and self.quantization is None
+        ):
+            self._X_search = self._X.astype(jnp.bfloat16)
+        else:
+            self._X_search = None
 
         # search tree (reference builds a graph-informed hub tree,
         # rp_trees.py:1233; plain RP tree fallback :1354-1373 — hub variant
@@ -423,8 +435,16 @@ class NNDescent:
             norms = np.linalg.norm(q, axis=1, keepdims=True)
             q = q / np.where(norms == 0.0, 1.0, norms)
 
+        use_bf16 = getattr(self, "_X_search", None) is not None and not self._is_bit
         is_proxy = self._is_proxy or self._quantized is not None
-        search_k = proxy_beam_size * k if is_proxy else k
+        if is_proxy:
+            search_k = proxy_beam_size * k
+        elif use_bf16:
+            # modest over-fetch: the bf16 beam may mis-rank near-ties; the
+            # exact rerank below recovers them
+            search_k = max(k + k // 2, k + 2)
+        else:
+            search_k = k
         tree_queries = None
         min_distance = self._min_distance
         if self._quantized is not None:
@@ -436,6 +456,13 @@ class NNDescent:
             else:
                 search_q = q
             min_distance = 0.0
+        elif use_bf16:
+            cand_X = self._X_search
+            dist_rowwise = nnd_ops._resolve_rowwise_metric(
+                self._internal_metric, self._internal_metric_kwds,
+                cast_candidates_f32=True,
+            )
+            search_q = q
         else:
             cand_X = self._X
             dist_rowwise = nnd_ops._resolve_rowwise_metric(
@@ -457,7 +484,7 @@ class NNDescent:
             dist_rowwise=dist_rowwise,
             tree_queries=tree_queries,
         )
-        if is_proxy:
+        if is_proxy or use_bf16:
             idx, d = self._rerank(q, idx, k)
         else:
             idx, d = idx[:, :k], d[:, :k]
@@ -484,14 +511,18 @@ class NNDescent:
                         d[i, j] = true_metric(
                             queries[i], self._raw_data[c], **self.metric_kwds
                         )
-        else:
-            fn = nnd_ops._resolve_rowwise_metric(true_metric, self.metric_kwds)
-            C = jnp.asarray(self._raw_data)[jnp.maximum(jnp.asarray(cand_idx), 0)]
-            d = np.asarray(fn(jnp.asarray(queries, jnp.float32), C))
-            d = np.where(cand_idx < 0, np.inf, d)
-        order = np.argsort(d, axis=1)[:, :k]
-        rows = np.arange(cand_idx.shape[0])[:, None]
-        return cand_idx[rows, order], d[rows, order].astype(np.float32)
+            order = np.argsort(d, axis=1)[:, :k]
+            rows = np.arange(cand_idx.shape[0])[:, None]
+            return cand_idx[rows, order], d[rows, order].astype(np.float32)
+        fn = nnd_ops._resolve_rowwise_metric(true_metric, self.metric_kwds)
+        ridx, rd = _jit_rerank(
+            jnp.asarray(queries, jnp.float32),
+            jnp.asarray(cand_idx),
+            self._X,
+            dist_rowwise=fn,
+            k=k,
+        )
+        return np.asarray(ridx), np.asarray(rd)
 
     # ------------------------------------------------------------------
 
@@ -594,6 +625,8 @@ class NNDescent:
         self.prepare()  # search structures must exist (reference :1307)
         state = self.__dict__.copy()
         state["_X"] = None  # rebuilt from _raw_data
+        state["_X_search"] = None
+        state["_quantized_codes_dev"] = None
         state["_search_graph"] = np.asarray(self._search_graph)
         state["_key"] = np.asarray(self._key)
         return state
@@ -603,3 +636,22 @@ class NNDescent:
         self._X = jnp.asarray(self._raw_data)
         self._search_graph = jnp.asarray(state["_search_graph"])
         self._key = jnp.asarray(state["_key"])
+        if (
+            getattr(self, "search_dtype", "bfloat16") == "bfloat16"
+            and not getattr(self, "_is_bit", False)
+            and getattr(self, "quantization", None) is None
+        ):
+            self._X_search = self._X.astype(jnp.bfloat16)
+        if getattr(self, "_quantized", None) is not None:
+            self._quantized_codes_dev = jnp.asarray(self._quantized["codes"])
+
+
+@functools.partial(jax.jit, static_argnames=("dist_rowwise", "k"))
+def _jit_rerank(queries, cand_idx, X, *, dist_rowwise, k):
+    """Recompute exact distances on candidates and keep the top k, on device
+    (reference: rerank, pynndescent_.py:775)."""
+    C = X[jnp.maximum(cand_idx, 0)]
+    d = dist_rowwise(queries, C)
+    d = jnp.where(cand_idx < 0, jnp.inf, d)
+    nd, ni = jax.lax.sort((d, cand_idx), num_keys=1, dimension=-1)
+    return ni[:, :k], nd[:, :k]

@@ -198,9 +198,22 @@ def search(
     if tree_queries is not None:
         tree_queries = jnp.asarray(tree_queries)
     out_idx, out_dist = [], []
-    b = min(batch_size, nq)
-    for s in range(0, nq, b):
-        e = min(s + b, nq)
+    # bucketed batching: full batches of batch_size, then power-of-two
+    # buckets for the tail, so a partial final batch doesn't pad (and pay)
+    # all the way up to batch_size
+    spans = []
+    pos = 0
+    while nq - pos >= batch_size:
+        spans.append((pos, pos + batch_size, batch_size))
+        pos += batch_size
+    rest = nq - pos
+    while rest > 0:
+        b = min(batch_size, max(256, 1 << (rest - 1).bit_length()))
+        take = min(rest, b)
+        spans.append((pos, pos + take, b))
+        pos += take
+        rest -= take
+    for s, e, b in spans:
         blk = queries[s:e]
         tblk = tree_queries[s:e] if tree_queries is not None else None
         if e - s < b:

@@ -74,14 +74,18 @@ def _freeze_kwds(kwds):
 _ROWWISE_CACHE: dict = {}
 
 
-def _resolve_rowwise_metric(metric, metric_kwds) -> Callable:
+def _resolve_rowwise_metric(metric, metric_kwds, cast_candidates_f32=False) -> Callable:
     """Return fn(Q [b, d], C [b, m, d]) -> [b, m] distances.
 
     The returned closure is cached per (metric, kwds) so it has a stable
     identity — it is passed to jitted stages as a *static* argument, and a
-    fresh closure per call would defeat jax's trace cache entirely."""
+    fresh closure per call would defeat jax's trace cache entirely.
+
+    ``cast_candidates_f32`` upcasts gathered candidate tiles before the math:
+    used when the candidate data is stored in bfloat16 (half the HBM gather
+    traffic of the search hot loop; exact rerank recovers full precision)."""
     try:
-        cache_key = (metric, _freeze_kwds(metric_kwds))
+        cache_key = (metric, _freeze_kwds(metric_kwds), cast_candidates_f32)
         cached = _ROWWISE_CACHE.get(cache_key)
         if cached is not None:
             return cached
@@ -91,10 +95,14 @@ def _resolve_rowwise_metric(metric, metric_kwds) -> Callable:
         base = metric
         if metric_kwds:
             base = functools.partial(base, **metric_kwds)
-        fn = lambda Q, C: base(Q[:, None, :], C)
+        inner = lambda Q, C: base(Q[:, None, :], C)
     else:
         kwds = dict(metric_kwds or {})
-        fn = lambda Q, C: dst.pairwise_rowwise(metric, Q, C, **kwds)
+        inner = lambda Q, C: dst.pairwise_rowwise(metric, Q, C, **kwds)
+    if cast_candidates_f32:
+        fn = lambda Q, C: inner(Q, C.astype(jnp.float32))
+    else:
+        fn = inner
     if cache_key is not None:
         _ROWWISE_CACHE[cache_key] = fn
     return fn
