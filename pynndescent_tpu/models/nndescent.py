@@ -28,6 +28,12 @@ from pynndescent_tpu.ops import rp_trees
 from pynndescent_tpu.models import search as search_ops
 from pynndescent_tpu.utils import rng
 
+
+def _ts():
+    import datetime
+
+    return datetime.datetime.now().strftime("%a %b %d %H:%M:%S %Y")
+
 _ANGULAR_METRICS = (
     "cosine",
     "dot",
@@ -203,7 +209,7 @@ class NNDescent:
             )
 
         if verbose:
-            print("NN descent for", n_iters, "iterations")
+            print(_ts(), "NN descent for", n_iters, "iterations")
         idx, dist_internal = nnd_ops.nn_descent(
             self._X,
             n_neighbors,
@@ -334,9 +340,17 @@ class NNDescent:
             min_dist = jnp.min(jnp.where(jnp.isfinite(state.dist), state.dist, jnp.inf))
             return state.idx, jnp.where(jnp.isfinite(min_dist), min_dist, 0.0)
 
+        if self.verbose:
+            print(_ts(), "Building and diversifying the search graph")
         adj, min_dist = _assemble(
             jnp.asarray(idx), jnp.asarray(dist), self._X, div_key
         )
+        if self.verbose:
+            deg = np.asarray(jnp.sum(adj >= 0, axis=1))
+            print(
+                _ts(),
+                f"Search graph: mean degree {deg.mean():.1f}, max {deg.max()}",
+            )
         self._min_distance = float(min_dist)
         self._search_graph = adj
         self._init_quantization()

@@ -540,3 +540,33 @@ def make_forest_leaves(X, n_trees, leaf_size, key, angular=False, max_depth=None
     for t, la in enumerate(per_tree):
         forest[t, : la.shape[0], : la.shape[1]] = la
     return forest
+
+
+def score_tree(order, start, size, neighbor_indices):
+    """Fraction of points whose true neighbors co-occur in their leaf
+    (reference: score_tree, rp_trees.py:3093) — a quality measure for
+    choosing among candidate search trees."""
+    order = np.asarray(order)
+    start = np.asarray(start)
+    size = np.asarray(size)
+    neighbor_indices = np.asarray(neighbor_indices)
+    n, k = neighbor_indices.shape
+    # leaf id per point = its slice start
+    leaf_of = np.empty(n, np.int64)
+    leaf_of[order] = start
+    hits = leaf_of[neighbor_indices] == leaf_of[np.arange(n)][:, None]
+    return float(hits.mean())
+
+
+def score_linked_tree(tree_arrays, neighbor_indices):
+    """score_tree over a flattened search tree (reference rp_trees.py:3114)."""
+    order = np.asarray(tree_arrays["tree_order"])
+    lo = np.asarray(tree_arrays["leaf_lo"])
+    hi = np.asarray(tree_arrays["leaf_hi"])
+    n = order.shape[0]
+    leaf_of = np.full(n, -1, np.int64)
+    for node in np.nonzero(lo >= 0)[0]:
+        leaf_of[order[lo[node] : hi[node]]] = node
+    neighbor_indices = np.asarray(neighbor_indices)
+    hits = leaf_of[neighbor_indices] == leaf_of[np.arange(len(neighbor_indices))][:, None]
+    return float(hits.mean())

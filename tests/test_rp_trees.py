@@ -117,3 +117,20 @@ def test_flat_tree_descent_consistency(nn_data):
     # margin==0 coin flips can diverge between build and query for points on
     # a splitting hyperplane; require near-total agreement
     assert ok >= 250, f"only {ok}/256 points landed in their own leaf"
+
+
+def test_score_tree(nn_data):
+    from sklearn.neighbors import NearestNeighbors
+
+    from pynndescent_tpu.ops.rp_trees import build_tree_order, score_tree
+
+    n = nn_data.shape[0]
+    order, start, size = build_tree_order(
+        nn_data, np.uint32(3), leaf_size=60, max_depth=forest_depth(n, 60)
+    )
+    nn = NearestNeighbors(n_neighbors=5).fit(nn_data)
+    true_idx = nn.kneighbors(nn_data, 5, return_distance=False)
+    s = score_tree(order, start, size, true_idx)
+    # a sane RP tree keeps a decent share of neighbors in-leaf; random
+    # assignment would score ~leaf_size/n ~ 0.06
+    assert 0.2 < s <= 1.0
