@@ -354,19 +354,36 @@ def _descent_iteration(
     return state, changes
 
 
-def init_random(state: NeighborState, X, key, n_extra: int, dist_rowwise):
-    """Random-fill initialisation (reference: init_random, pynndescent_.py:193)."""
+def init_random(state: NeighborState, X, key, n_extra: int, dist_rowwise,
+                block_rows: int = 65536):
+    """Random-fill initialisation (reference: init_random, pynndescent_.py:193).
+    Blocked so the [rows, n_extra+1, d] gather never exceeds a bounded
+    working set."""
     n = X.shape[0]
-    cand = jax.random.randint(key, (n, n_extra), 0, n, dtype=jnp.int32)
-    # the reference convention keeps each point as its own first neighbor
-    # (distance 0); seed it explicitly
-    self_ids = jnp.arange(n, dtype=jnp.int32)[:, None]
-    cand = jnp.concatenate([self_ids, cand], axis=-1)
-    d = dist_rowwise(X, X[jnp.maximum(cand, 0)])
-    d = jnp.where(cand < 0, jnp.inf, d)
-    d = jnp.where(cand == self_ids, 0.0, d)
-    state, _ = merge_candidates(state, cand, d)
-    return state
+    b = min(block_rows, n)
+    n_blocks = -(-n // b)
+
+    def body(blk, st):
+        s0 = jnp.minimum(blk * b, n - b)
+        rows = s0 + jnp.arange(b, dtype=jnp.int32)
+        cand = jax.random.randint(
+            jax.random.fold_in(key, blk), (b, n_extra), 0, n, dtype=jnp.int32
+        )
+        # the reference convention keeps each point as its own first neighbor
+        # (distance 0); seed it explicitly
+        self_ids = rows[:, None]
+        cand = jnp.concatenate([self_ids, cand], axis=-1)
+        d = dist_rowwise(X[rows], X[jnp.maximum(cand, 0)])
+        d = jnp.where(cand == self_ids, 0.0, d)
+        blk_state = NeighborState(st.idx[rows], st.dist[rows], st.flag[rows])
+        merged, _ = merge_candidates(blk_state, cand, d)
+        return NeighborState(
+            st.idx.at[rows].set(merged.idx, unique_indices=True),
+            st.dist.at[rows].set(merged.dist, unique_indices=True),
+            st.flag.at[rows].set(merged.flag, unique_indices=True),
+        )
+
+    return jax.lax.fori_loop(0, n_blocks, body, state)
 
 
 def init_from_tree_order(

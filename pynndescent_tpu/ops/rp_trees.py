@@ -209,12 +209,24 @@ def build_tree_order(X, seed, leaf_size: int, max_depth: int, angular: bool = Fa
 
 
 def build_forest_orders(X, seeds, leaf_size: int, max_depth: int, angular: bool = False):
-    """vmap tree construction over per-tree seeds -> [n_trees, n] encodings
-    (replaces joblib-thread forest orchestration, rp_trees.py:2815-2880)."""
+    """Tree construction over per-tree seeds -> [n_trees, n] encodings
+    (replaces joblib-thread forest orchestration, rp_trees.py:2815-2880).
+
+    Trees are vmapped when the per-level gather working set (3 point-row
+    gathers per tree) fits comfortably in HBM; otherwise they build
+    sequentially through one compiled program."""
+    X = jnp.asarray(X)
+    seeds = jnp.asarray(seeds, jnp.uint32)
+    n, d = X.shape
+    n_trees = int(seeds.shape[0])
+    workset = 3 * n_trees * n * d * 4  # bytes of gathered rows per level
     fn = functools.partial(
         build_tree_order, X, leaf_size=leaf_size, max_depth=max_depth, angular=angular
     )
-    return jax.vmap(fn)(jnp.asarray(seeds, jnp.uint32))
+    if workset <= 4 << 30:
+        return jax.vmap(fn)(seeds)
+    outs = [fn(seeds[t]) for t in range(n_trees)]
+    return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
 
 
 def leaf_arrays_from_order(order, start, size):
