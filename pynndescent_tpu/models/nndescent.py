@@ -187,8 +187,10 @@ class NNDescent:
             seeds = jax.random.randint(
                 fkey, (n_trees,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
             ).astype(jnp.uint32)
+            # hyperplane splits don't need full precision — bf16 rows halve
+            # the per-level gather traffic (distances stay f32 elsewhere)
             forest = rp_trees.build_forest_orders(
-                self._X,
+                self._X.astype(jnp.bfloat16),
                 seeds,
                 leaf_size,
                 rp_trees.forest_depth(n, leaf_size),
