@@ -154,11 +154,7 @@ class NNDescent:
         self._angular_trees = metric in _ANGULAR_METRICS or (
             callable(metric) and self.angular_trees
         )
-        # bit-packed data cannot feed the float hyperplane splitter; v1 runs
-        # bit metrics with random-init descent (reference uses dedicated bit
-        # trees, rp_trees.py:193-301 — planned upgrade)
-        if self._is_bit:
-            tree_init = False
+
 
         # metric resolution: substitute the order-preserving fast alternative
         # for build/search; correct distances on output
@@ -188,9 +184,11 @@ class NNDescent:
                 fkey, (n_trees,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
             ).astype(jnp.uint32)
             # hyperplane splits don't need full precision — bf16 rows halve
-            # the per-level gather traffic (distances stay f32 elsewhere)
+            # the per-level gather traffic (distances stay f32 elsewhere);
+            # bit-packed data splits by closest anchor under popcount
+            split_X = self._X if self._is_bit else self._X.astype(jnp.bfloat16)
             forest = rp_trees.build_forest_orders(
-                self._X.astype(jnp.bfloat16),
+                split_X,
                 seeds,
                 leaf_size,
                 rp_trees.forest_depth(n, leaf_size),
@@ -368,12 +366,8 @@ class NNDescent:
             self._X_search = None
 
         # search tree (reference builds a graph-informed hub tree,
-        # rp_trees.py:1233; plain RP tree fallback :1354-1373 — hub variant
-        # is a planned upgrade). Bit-packed data has no float splitter yet:
-        # search seeds from random samples only.
-        if self._is_bit:
-            self._search_tree = None
-            return
+        # rp_trees.py:1233; bit-packed data splits by closest anchor under
+        # popcount, like make_bit_hub_tree :2111)
         seed = int(
             np.asarray(
                 jax.random.randint(
@@ -601,8 +595,9 @@ class NNDescent:
         seeds = jax.random.randint(
             fkey, (self.n_trees_after_update,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
         ).astype(jnp.uint32)
+        split_X = self._X if self._is_bit else self._X.astype(jnp.bfloat16)
         forest = rp_trees.build_forest_orders(
-            self._X,
+            split_X,
             seeds,
             self.leaf_size,
             rp_trees.forest_depth(n, self.leaf_size),

@@ -83,6 +83,14 @@ def _hash_mod(a, b, c, mod):
 # ---------------------------------------------------------------------------
 
 
+def _bit_margin(x, xa, xb):
+    """Signed closest-anchor margin for bit-packed rows: popcount(x ^ xb) -
+    popcount(x ^ xa); positive means x is closer to anchor a."""
+    da = jnp.sum(jax.lax.population_count(jnp.bitwise_xor(x, xa)).astype(jnp.int32), axis=-1)
+    db = jnp.sum(jax.lax.population_count(jnp.bitwise_xor(x, xb)).astype(jnp.int32), axis=-1)
+    return (db - da).astype(jnp.float32)
+
+
 def _segment_cumsum_stats(values, start, size):
     """For per-position int values inside contiguous node slices, return
     (prefix_within_node_exclusive, total_within_node)."""
@@ -146,7 +154,12 @@ def _split_level(X, norms, order, start, size, level, seed, leaf_size, angular,
     xb = X[b_pt]
     x = X[order]
 
-    if angular:
+    if X.dtype == jnp.uint8:
+        # bit-packed split: assign to the closer of the two anchors by
+        # hamming distance (the TPU-native form of the reference's
+        # XOR/popcount bitpacked hyperplanes, rp_trees.py:193-301)
+        margin = _bit_margin(x, xa, xb)
+    elif angular:
         na = jnp.maximum(norms[a_pt], 1e-8)[:, None]
         nb = jnp.maximum(norms[b_pt], 1e-8)[:, None]
         hyper = xa / na - xb / nb
@@ -195,7 +208,10 @@ def build_tree_order(X, seed, leaf_size: int, max_depth: int, angular: bool = Fa
     (Replaces the reference's recursive make_*_tree, rp_trees.py:2173-2641.)
     """
     n = X.shape[0]
-    norms = jnp.linalg.norm(X, axis=-1) if angular else jnp.zeros((n,), X.dtype)
+    if angular and X.dtype != jnp.uint8:
+        norms = jnp.linalg.norm(X, axis=-1)
+    else:
+        norms = jnp.zeros((n,), jnp.float32)
     order = jnp.arange(n, dtype=jnp.int32)
     start = jnp.zeros(n, jnp.int32)
     size = jnp.full(n, n, jnp.int32)
@@ -323,7 +339,10 @@ def build_tree_trace(X, seed, leaf_size: int, max_depth: int, angular: bool = Fa
     (order, start, size) entering each level, for host-side flattening.
     With ``degrees`` the splits are hub-aware (graph-informed search tree)."""
     n = X.shape[0]
-    norms = jnp.linalg.norm(X, axis=-1) if angular else jnp.zeros((n,), X.dtype)
+    if angular and X.dtype != jnp.uint8:
+        norms = jnp.linalg.norm(X, axis=-1)
+    else:
+        norms = jnp.zeros((n,), jnp.float32)
     order = jnp.arange(n, dtype=jnp.int32)
     start = jnp.zeros(n, jnp.int32)
     size = jnp.full(n, n, jnp.int32)
@@ -495,7 +514,7 @@ def descend_tree(tree_arrays, X, queries, coins, depth: int, angular: bool = Fal
     q = queries.shape[0]
     node = jnp.zeros(q, jnp.int32)
 
-    if angular and "hyper" not in tree_arrays:
+    if angular and "hyper" not in tree_arrays and X.dtype != jnp.uint8:
         norms = jnp.linalg.norm(X, axis=-1)
 
     has_planes = "hyper" in tree_arrays
@@ -509,7 +528,9 @@ def descend_tree(tree_arrays, X, queries, coins, depth: int, angular: bool = Fal
             b = b_pt[node]
             xa = X[a]
             xb = X[b]
-            if angular:
+            if X.dtype == jnp.uint8:
+                margin = _bit_margin(queries, xa, xb)
+            elif angular:
                 na = jnp.maximum(norms[a], 1e-8)[:, None]
                 nb = jnp.maximum(norms[b], 1e-8)[:, None]
                 hyper = xa / na - xb / nb
