@@ -120,8 +120,22 @@ class NNDescent:
         from pynndescent_tpu.ops import sparse as sparse_ops
 
         self._input_is_sparse = sparse_ops.is_sparse(data)
+        self._ell = None
         if self._input_is_sparse:
-            data = sparse_ops.densify(data)
+            csr = data.tocsr()
+            if csr.shape[1] > sparse_ops.DENSIFY_MAX_FEATURES:
+                # wide feature space: true sparse padded-ELL kernels
+                from pynndescent_tpu.ops import sparse_ell
+
+                if metric == "dot":
+                    from sklearn.preprocessing import normalize as _norm
+
+                    csr = _norm(csr, norm="l2")
+                nnz_max = max(1, int(np.diff(csr.indptr).max()))
+                data = sparse_ell.csr_to_ell_packed(csr, nnz_max)
+                self._ell = {"nnz": nnz_max, "n_features": csr.shape[1]}
+            else:
+                data = sparse_ops.densify(data)
         self._is_bit = metric in ("bit_hamming", "bit_jaccard") or (
             callable(metric) and self.bit_metric
         )
@@ -160,8 +174,26 @@ class NNDescent:
         # for build/search; correct distances on output
         # (reference _set_distance_func, pynndescent_.py:1271)
         self._set_distance_func()
+        if self._ell is not None:
+            from pynndescent_tpu.ops import sparse_ell
 
-        if metric == "dot":
+            if not isinstance(metric, str):
+                raise NotImplementedError(
+                    "custom callables are not supported on the padded-ELL sparse path"
+                )
+            nnz = self._ell["nnz"]
+            alt = sparse_ell.ELL_ALTERNATIVES.get(metric)
+            if alt is not None:
+                self._internal_metric = sparse_ell.make_ell_metric(alt[0], nnz)
+                self._distance_correction = alt[1]
+            else:
+                self._internal_metric = sparse_ell.make_ell_metric(metric, nnz)
+                self._distance_correction = None
+            self._is_proxy = False
+            tree_init = False  # no ELL tree splits yet: random-init descent
+            self._angular_trees = False
+
+        if metric == "dot" and self._ell is None:
             norms = np.linalg.norm(data, axis=1, keepdims=True)
             data = data / np.where(norms == 0.0, 1.0, norms)
 
@@ -360,10 +392,14 @@ class NNDescent:
             self.search_dtype == "bfloat16"
             and not self._is_bit
             and self.quantization is None
+            and self._ell is None  # packed indices must stay exact f32
         ):
             self._X_search = self._X.astype(jnp.bfloat16)
         else:
             self._X_search = None
+        if self._ell is not None:
+            self._search_tree = None
+            return
 
         # search tree (reference builds a graph-informed hub tree,
         # rp_trees.py:1233; bit-packed data splits by closest anchor under
@@ -436,12 +472,45 @@ class NNDescent:
         from pynndescent_tpu.ops import sparse as sparse_ops
 
         if sparse_ops.is_sparse(query_data):
-            query_data = sparse_ops.densify(query_data)
+            if self._ell is not None:
+                from pynndescent_tpu.ops import sparse_ell
+
+                qcsr = query_data.tocsr()
+                if self.metric == "dot":
+                    from sklearn.preprocessing import normalize as _norm
+
+                    qcsr = _norm(qcsr, norm="l2")
+                nnz = self._ell["nnz"]
+                counts = np.diff(qcsr.indptr)
+                if counts.max(initial=0) > nnz:
+                    # keep each query row's nnz largest-magnitude entries
+                    import scipy.sparse as _sp
+
+                    rows = []
+                    for i in range(qcsr.shape[0]):
+                        lo, hi = qcsr.indptr[i], qcsr.indptr[i + 1]
+                        if hi - lo > nnz:
+                            keep = np.argsort(-np.abs(qcsr.data[lo:hi]))[:nnz]
+                            rows.append((qcsr.indices[lo:hi][keep], qcsr.data[lo:hi][keep]))
+                        else:
+                            rows.append((qcsr.indices[lo:hi], qcsr.data[lo:hi]))
+                    indptr = np.cumsum([0] + [len(r[0]) for r in rows])
+                    qcsr = _sp.csr_matrix(
+                        (
+                            np.concatenate([r[1] for r in rows]),
+                            np.concatenate([r[0] for r in rows]),
+                            indptr,
+                        ),
+                        shape=qcsr.shape,
+                    )
+                query_data = sparse_ell.csr_to_ell_packed(qcsr, nnz)
+            else:
+                query_data = sparse_ops.densify(query_data)
         qdtype = np.uint8 if self._is_bit else np.float32
         q = np.ascontiguousarray(np.asarray(query_data, qdtype))
         if q.ndim == 1:
             q = q.reshape(1, -1)
-        if self.metric in ("cosine", "dot"):
+        if self.metric in ("cosine", "dot") and self._ell is None:
             norms = np.linalg.norm(q, axis=1, keepdims=True)
             q = q / np.where(norms == 0.0, 1.0, norms)
 
@@ -553,6 +622,12 @@ class NNDescent:
         forest (reference: NNDescent.update, pynndescent_.py:2381-2553)."""
         if self._neighbor_graph is None:
             raise ValueError("Cannot update a compressed index")
+        if self._ell is not None:
+            raise NotImplementedError(
+                "update() on the padded-ELL sparse path is not supported yet "
+                "(the reference likewise rejects sparse in-place updates, "
+                "pynndescent_.py:2412)"
+            )
         data = self._raw_data
         idx, dist = self._neighbor_graph
         n_old, k = idx.shape

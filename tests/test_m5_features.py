@@ -155,3 +155,57 @@ def test_diversify_prob(nn_data):
     index.prepare()
     idx, _ = index.query(nn_data[:50], k=5, epsilon=0.2)
     assert idx.shape == (50, 5)
+
+
+def test_wide_sparse_ell_path():
+    """CSR input beyond the densification threshold uses true sparse
+    (padded-ELL) kernels end to end."""
+    rs = np.random.RandomState(189212)
+    n, d, nnz = 600, 100_000, 24
+    rows = np.repeat(np.arange(n), nnz)
+    cols = np.concatenate(
+        [rs.choice(d // 100, nnz, replace=False) * 100 + rs.randint(0, 7) for _ in range(n)]
+    )
+    vals = rs.uniform(0.1, 1.0, n * nnz).astype(np.float32)
+    X = sparse.csr_matrix((vals, (rows, cols)), shape=(n, d))
+    index = NNDescent(X, n_neighbors=8, random_state=42)
+    assert index._ell is not None  # ELL path actually taken
+    idx, dist = index.neighbor_graph
+    # oracle on densified data
+    dense = X.toarray()
+    nn = NearestNeighbors(n_neighbors=8).fit(dense)
+    true_idx = nn.kneighbors(dense, 8, return_distance=False)
+    recall = _recall(idx, true_idx)
+    assert recall >= 0.8, f"ELL build recall {recall}"
+    # distances are true euclidean
+    i, j = 5, int(idx[5, 1])
+    expected = np.linalg.norm(dense[i] - dense[j])
+    assert dist[5, 1] == pytest.approx(expected, rel=1e-3, abs=1e-4)
+    # query path
+    qidx, _ = index.query(X[:40], k=5, epsilon=0.3)
+    true_q = nn.kneighbors(dense[:40], 5, return_distance=False)
+    qrecall = _recall(qidx, true_q)
+    assert qrecall >= 0.7, f"ELL query recall {qrecall}"
+
+
+def test_wide_sparse_ell_cosine():
+    rs = np.random.RandomState(3)
+    n, d, nnz = 400, 50_000, 16
+    # clustered supports so cosine similarities are informative (fully random
+    # disjoint supports have all-zero overlaps — no method can traverse that)
+    n_topics = 20
+    topic_cols = [rs.choice(d, 64, replace=False) for _ in range(n_topics)]
+    rows = np.repeat(np.arange(n), nnz)
+    cols = np.concatenate(
+        [rs.choice(topic_cols[i % n_topics], nnz, replace=False) for i in range(n)]
+    )
+    vals = rs.uniform(0.1, 1.0, n * nnz).astype(np.float32)
+    X = sparse.csr_matrix((vals, (rows, cols)), shape=(n, d))
+    X.sum_duplicates()
+    index = NNDescent(X, metric="cosine", n_neighbors=8, random_state=42)
+    assert index._ell is not None
+    idx, _ = index.neighbor_graph
+    dense = X.toarray()
+    nn = NearestNeighbors(n_neighbors=8, metric="cosine").fit(dense)
+    true_idx = nn.kneighbors(dense, 8, return_distance=False)
+    assert _recall(idx, true_idx) >= 0.7
