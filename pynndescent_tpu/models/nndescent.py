@@ -510,6 +510,12 @@ class NNDescent:
         q = np.ascontiguousarray(np.asarray(query_data, qdtype))
         if q.ndim == 1:
             q = q.reshape(1, -1)
+        expected_dim = self._raw_data.shape[1]
+        if q.shape[1] != expected_dim:
+            raise ValueError(
+                f"query data has {q.shape[1]} features but the index was "
+                f"built with {expected_dim}"
+            )
         if self.metric in ("cosine", "dot") and self._ell is None:
             norms = np.linalg.norm(q, axis=1, keepdims=True)
             q = q / np.where(norms == 0.0, 1.0, norms)
