@@ -175,21 +175,11 @@ class NNDescent:
         # (reference _set_distance_func, pynndescent_.py:1271)
         self._set_distance_func()
         if self._ell is not None:
-            from pynndescent_tpu.ops import sparse_ell
-
             if not isinstance(metric, str):
                 raise NotImplementedError(
                     "custom callables are not supported on the padded-ELL sparse path"
                 )
-            nnz = self._ell["nnz"]
-            alt = sparse_ell.ELL_ALTERNATIVES.get(metric)
-            if alt is not None:
-                self._internal_metric = sparse_ell.make_ell_metric(alt[0], nnz)
-                self._distance_correction = alt[1]
-            else:
-                self._internal_metric = sparse_ell.make_ell_metric(metric, nnz)
-                self._distance_correction = None
-            self._is_proxy = False
+            self._set_ell_metric()
             tree_init = False  # no ELL tree splits yet: random-init descent
             self._angular_trees = False
 
@@ -282,6 +272,21 @@ class NNDescent:
         fn = nnd_ops._resolve_rowwise_metric(self._internal_metric, self._internal_metric_kwds)
         d = fn(self._X, self._X[jnp.maximum(jnp.asarray(idx), 0)])
         return np.where(idx < 0, np.inf, np.asarray(d))
+
+    def _set_ell_metric(self):
+        """Resolve the padded-ELL metric closure (rebuilt after unpickling —
+        local closures are not picklable)."""
+        from pynndescent_tpu.ops import sparse_ell
+
+        nnz = self._ell["nnz"]
+        alt = sparse_ell.ELL_ALTERNATIVES.get(self.metric)
+        if alt is not None:
+            self._internal_metric = sparse_ell.make_ell_metric(alt[0], nnz)
+            self._distance_correction = alt[1]
+        else:
+            self._internal_metric = sparse_ell.make_ell_metric(self.metric, nnz)
+            self._distance_correction = None
+        self._is_proxy = False
 
     def _set_distance_func(self):
         """Registry lookup with fast-alternative / proxy substitution
@@ -435,27 +440,48 @@ class NNDescent:
             return
         from pynndescent_tpu.ops import quantization as qz
 
-        rs = np.random.RandomState(
-            self.random_state if not isinstance(self.random_state, np.random.RandomState) else None
+        # Derive the codebook seed from the index key: deterministic for int
+        # seeds AND RandomState instances (the key captured the instance's
+        # draw once at __init__; passing the instance through here would make
+        # codebooks depend on how much of the generator was consumed since).
+        seed = int(
+            np.asarray(
+                jax.random.randint(
+                    rng.derive(self._key, rng.ROLE_QUANTIZE),
+                    (),
+                    0,
+                    np.iinfo(np.int32).max,
+                )
+            )
         )
+        rs = np.random.RandomState(seed)
         if self.quantization == "binary":
             codes = qz.binary_codes(self._raw_data)
-            fn = qz.make_binary_rowwise(self.metric)
             self._quantized = {"mode": "binary", "codes": codes}
         elif self.quantization == "uint8":
             codebook = qz.uint8_codebook(self._raw_data, rs)
             codes = qz.uint8_codes(self._raw_data, codebook)
-            fn = qz.make_uint8_rowwise(self.metric, codebook)
             self._quantized = {"mode": "uint8", "codes": codes, "codebook": codebook}
         elif self.quantization == "uint4":
             codebook = qz.uint4_codebook(self._raw_data, rs)
             codes = qz.uint4_codes(self._raw_data, codebook)
-            fn = qz.make_uint4_rowwise(self.metric, codebook, self.dim)
             self._quantized = {"mode": "uint4", "codes": codes, "codebook": codebook}
         else:
             raise ValueError(f"Unknown quantization '{self.quantization}'")
-        self._quantized_rowwise = fn
+        self._quantized_rowwise = self._build_quantized_fn()
         self._quantized_codes_dev = jnp.asarray(self._quantized["codes"])
+
+    def _build_quantized_fn(self):
+        """Rebuild the quantized search-distance closure from the stored
+        mode/codebook (also used after unpickling)."""
+        from pynndescent_tpu.ops import quantization as qz
+
+        mode = self._quantized["mode"]
+        if mode == "binary":
+            return qz.make_binary_rowwise(self.metric)
+        if mode == "uint8":
+            return qz.make_uint8_rowwise(self.metric, self._quantized["codebook"])
+        return qz.make_uint4_rowwise(self.metric, self._quantized["codebook"], self.dim)
 
     # ------------------------------------------------------------------
     # query
@@ -639,7 +665,9 @@ class NNDescent:
         n_old, k = idx.shape
 
         if xs_updated is not None:
-            xs_updated = np.ascontiguousarray(np.asarray(xs_updated, np.float32))
+            # coerce to the index's input dtype: uint8 rows for bit metrics
+            # would be silently corrupted by a float32 cast
+            xs_updated = np.ascontiguousarray(np.asarray(xs_updated, self._input_dtype))
             updated_indices = np.asarray(updated_indices, np.int64)
             if self.metric == "dot":
                 norms = np.linalg.norm(xs_updated, axis=1, keepdims=True)
@@ -656,7 +684,7 @@ class NNDescent:
             dist = np.where(entry_touched, np.inf, dist).astype(np.float32)
 
         if xs_fresh is not None:
-            xs_fresh = np.ascontiguousarray(np.asarray(xs_fresh, np.float32))
+            xs_fresh = np.ascontiguousarray(np.asarray(xs_fresh, self._input_dtype))
             if self.metric == "dot":
                 norms = np.linalg.norm(xs_fresh, axis=1, keepdims=True)
                 xs_fresh = xs_fresh / np.where(norms == 0.0, 1.0, norms)
@@ -719,6 +747,13 @@ class NNDescent:
         state["_X"] = None  # rebuilt from _raw_data
         state["_X_search"] = None
         state["_quantized_codes_dev"] = None
+        # local closures are not picklable; rebuilt in __setstate__ from the
+        # stored mode/codebook/metric name (reference pickles by recompiling
+        # its jitted closures the same way, pynndescent_.py:1322-1331)
+        state.pop("_quantized_rowwise", None)
+        if self._ell is not None:
+            state["_internal_metric"] = None
+            state["_distance_correction"] = None
         state["_search_graph"] = np.asarray(self._search_graph)
         state["_key"] = np.asarray(self._key)
         return state
@@ -728,14 +763,18 @@ class NNDescent:
         self._X = jnp.asarray(self._raw_data)
         self._search_graph = jnp.asarray(state["_search_graph"])
         self._key = jnp.asarray(state["_key"])
+        if getattr(self, "_ell", None) is not None:
+            self._set_ell_metric()
         if (
             getattr(self, "search_dtype", "bfloat16") == "bfloat16"
             and not getattr(self, "_is_bit", False)
             and getattr(self, "quantization", None) is None
+            and getattr(self, "_ell", None) is None
         ):
             self._X_search = self._X.astype(jnp.bfloat16)
         if getattr(self, "_quantized", None) is not None:
             self._quantized_codes_dev = jnp.asarray(self._quantized["codes"])
+            self._quantized_rowwise = self._build_quantized_fn()
 
 
 @functools.partial(jax.jit, static_argnames=("dist_rowwise", "k"))

@@ -83,19 +83,23 @@ class PyNNDescentTransformer:
         )
         self.index_.prepare()
         if compress_index:
-            # match the reference's default of compressing after fit only in
-            # fit_transform; plain fit keeps the graph available for queries
-            pass
+            # reference compresses the freshly fit index (pynndescent_.py:2797);
+            # queries only need the prepared search structures
+            self.index_.compress_index()
         return self
 
     def transform(self, X, y=None):
+        # the +1 self-neighbor convention applies to fit/fit_transform only;
+        # transform returns exactly n_neighbors per row (reference :2826);
+        # X=None emits the fit-time neighbor graph itself (reference :2823)
         if X is None:
             n_samples_transform = self.n_samples_fit
+            indices, distances = self.index_.neighbor_graph
         else:
             n_samples_transform = np.asarray(X).shape[0]
-        indices, distances = self.index_.query(
-            X, k=self.n_neighbors + 1, epsilon=self.search_epsilon
-        )
+            indices, distances = self.index_.query(
+                X, k=self.n_neighbors, epsilon=self.search_epsilon
+            )
         valid = indices >= 0
         indptr = np.concatenate([[0], np.cumsum(valid.sum(axis=1))]).astype(np.int64)
         result = sparse.csr_matrix(
@@ -105,12 +109,9 @@ class PyNNDescentTransformer:
         return result
 
     def fit_transform(self, X, y=None, **fit_params):
+        # reference :2860-2867: fit uncompressed, emit the index's own graph,
+        # then compress
         self.fit(X, compress_index=False)
-        indices, distances = self.index_.neighbor_graph
-        valid = indices >= 0
-        indptr = np.concatenate([[0], np.cumsum(valid.sum(axis=1))]).astype(np.int64)
-        result = sparse.csr_matrix(
-            (distances[valid], indices[valid], indptr),
-            shape=(self.n_samples_fit, self.n_samples_fit),
-        )
+        result = self.transform(X=None)
+        self.index_.compress_index()
         return result

@@ -154,6 +154,11 @@ extern "C" double emd_dense(int n1, int n2, const double* a, const double* b,
     moved += push;
   }
 
+  // Guard exhausted with mass still untransported: the partial flow's cost
+  // would silently underestimate the true EMD. Signal failure so the Python
+  // wrapper falls through to the exact LP path.
+  if (total - moved > kMassEps * std::max(1.0, total)) return -4.0;
+
   for (int i = 0; i < n1; ++i)
     for (int j = 0; j < n2; ++j) obj += F[(size_t)i * n2 + j] * cost[(size_t)i * n2 + j];
   return obj;

@@ -59,20 +59,29 @@ def _split(packed, nnz):
     return packed[..., :nnz], packed[..., nnz:]
 
 
-def sparse_dot(x_packed, y_packed, nnz: int):
-    """<x, y> over packed ELL rows; broadcasts over leading axes."""
+def _sorted_keyvals(x_packed, y_packed, nnz: int):
+    """Sort the union of both rows' (index, value) entries by a tagged key.
+
+    Keys are int32 ``idx*2 + side`` (x entries even, y entries odd): f32
+    indices are exact up to 2^24 and converting to int32 before the *2+side
+    arithmetic keeps every key exact (f32 keys silently collide for
+    idx >= 2^23). Padding maps beyond any real key."""
     xi, xv = _split(x_packed, nnz)
     yi, yv = _split(y_packed, nnz)
     xi, xv, yi, yv = jnp.broadcast_arrays(xi, xv, yi, yv)
-    big = jnp.float32(2 * MAX_FEATURES_ELL + 8)
-    # key = idx*2 + side; padding (-1) maps beyond any real key
-    kx = jnp.where(xi >= 0, xi * 2.0, big)
-    ky = jnp.where(yi >= 0, yi * 2.0 + 1.0, big)
+    big = jnp.int32(2 * MAX_FEATURES_ELL + 8)
+    kx = jnp.where(xi >= 0, xi.astype(jnp.int32) * 2, big)
+    ky = jnp.where(yi >= 0, yi.astype(jnp.int32) * 2 + 1, big)
     keys = jnp.concatenate([kx, ky], axis=-1)
     vals = jnp.concatenate([xv, yv], axis=-1)
-    sk, sv = jax.lax.sort((keys, vals), num_keys=1, dimension=-1)
-    match = (sk[..., 1:] - sk[..., :-1]) == 1.0
-    even = (sk[..., :-1] % 2.0) == 0.0
+    return jax.lax.sort((keys, vals), num_keys=1, dimension=-1)
+
+
+def sparse_dot(x_packed, y_packed, nnz: int):
+    """<x, y> over packed ELL rows; broadcasts over leading axes."""
+    sk, sv = _sorted_keyvals(x_packed, y_packed, nnz)
+    match = (sk[..., 1:] - sk[..., :-1]) == 1
+    even = (sk[..., :-1] % 2) == 0
     prod = jnp.where(match & even, sv[..., 1:] * sv[..., :-1], 0.0)
     return jnp.sum(prod, axis=-1)
 
@@ -127,16 +136,11 @@ def make_ell_metric(metric: str, nnz: int):
         # matched values; reuse the sort: sum |v| over all, minus matched
         # |xv| + |yv| - |xv - yv| on matches
         def fn(x, y):
-            xi, xv = _split(x, nnz)
-            yi, yv = _split(y, nnz)
-            xi, xv, yi, yv = jnp.broadcast_arrays(xi, xv, yi, yv)
-            big = jnp.float32(2 * MAX_FEATURES_ELL + 8)
-            kx = jnp.where(xi >= 0, xi * 2.0, big)
-            ky = jnp.where(yi >= 0, yi * 2.0 + 1.0, big)
-            keys = jnp.concatenate([kx, ky], axis=-1)
-            vals = jnp.concatenate([xv, yv], axis=-1)
-            sk, sv = jax.lax.sort((keys, vals), num_keys=1, dimension=-1)
-            match = ((sk[..., 1:] - sk[..., :-1]) == 1.0) & ((sk[..., :-1] % 2.0) == 0.0)
+            _, xv = _split(x, nnz)
+            _, yv = _split(y, nnz)
+            xv, yv = jnp.broadcast_arrays(xv, yv)
+            sk, sv = _sorted_keyvals(x, y, nnz)
+            match = ((sk[..., 1:] - sk[..., :-1]) == 1) & ((sk[..., :-1] % 2) == 0)
             a = sv[..., :-1]
             b = sv[..., 1:]
             corr = jnp.where(match, jnp.abs(a) + jnp.abs(b) - jnp.abs(a - b), 0.0)

@@ -38,9 +38,20 @@ def test_transformer_transform_matches_query(nn_data):
     t = PyNNDescentTransformer(n_neighbors=4, random_state=42).fit(train)
     G = t.transform(queries)
     assert G.shape == (100, len(train))
-    idx, dist = t.index_.query(queries, k=5, epsilon=0.1)
+    # transform returns exactly n_neighbors entries per row (the +1
+    # self-neighbor convention applies only to fit/fit_transform)
+    assert np.all(np.diff(G.indptr) == 4)
+    idx, dist = t.index_.query(queries, k=4, epsilon=0.1)
     row0 = G.getrow(0)
     np.testing.assert_allclose(np.sort(row0.data), np.sort(dist[0]), rtol=1e-4)
+
+
+def test_transformer_fit_compresses_index(nn_data):
+    t = PyNNDescentTransformer(n_neighbors=4, random_state=42).fit(nn_data[:300])
+    # fit(compress_index=True) is the default: graph dropped, queries work
+    assert t.index_._neighbor_graph is None
+    G = t.transform(nn_data[300:350])
+    assert G.shape == (50, 300)
 
 
 def test_transformer_sklearn_pipeline(nn_data):
@@ -77,6 +88,42 @@ def test_compressed_pickle_roundtrip(nn_data):
     index2 = pickle.loads(blob)
     idx, dist = index2.query(queries, k=5, epsilon=0.2)
     assert idx.shape == (200, 5)
+
+
+def test_quantized_pickle_roundtrip(nn_data):
+    train = nn_data[200:]
+    queries = nn_data[:50]
+    index = NNDescent(train, n_neighbors=10, random_state=42, quantization="uint8")
+    index.prepare()
+    r_before = index.query(queries, k=5, epsilon=0.2)
+    index2 = pickle.loads(pickle.dumps(index))
+    r_after = index2.query(queries, k=5, epsilon=0.2)
+    np.testing.assert_array_equal(r_before[0], r_after[0])
+
+
+def test_quantized_codebook_deterministic_with_randomstate(nn_data):
+    a = NNDescent(
+        nn_data[:300], n_neighbors=5, quantization="uint8",
+        random_state=np.random.RandomState(7),
+    )
+    b = NNDescent(
+        nn_data[:300], n_neighbors=5, quantization="uint8",
+        random_state=np.random.RandomState(7),
+    )
+    a.prepare()
+    b.prepare()
+    np.testing.assert_array_equal(a._quantized["codebook"], b._quantized["codebook"])
+
+
+def test_update_bit_metric_data():
+    rs = np.random.RandomState(5)
+    bits = rs.randint(0, 256, (300, 8)).astype(np.uint8)
+    index = NNDescent(bits, metric="bit_hamming", n_neighbors=5, random_state=1)
+    fresh = rs.randint(0, 256, (20, 8)).astype(np.uint8)
+    index.update(xs_fresh=fresh)
+    idx, dist = index.neighbor_graph
+    assert idx.shape[0] == 320
+    assert index._raw_data.dtype == np.uint8
 
 
 def test_joblib_dump(nn_data):
