@@ -3,9 +3,16 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Workload: 100k x 128 float32 clustered vectors (SIFT-like scale and local
-structure; ann-benchmarks datasets are clustered real data — iid gaussian
-has no neighbor structure and defeats every ANN method), k=10, 10k queries.
+Workloads (clustered vectors — ann-benchmarks datasets are clustered real
+data; iid gaussian has no neighbor structure and defeats every ANN method):
+
+* primary: 100k x 128 float32 euclidean (SIFT-like), k=10, 10k queries —
+  headline `value`/`vs_baseline`.
+* angular: 100k x 100 float32 cosine (GloVe-100-like), k=10, 10k queries —
+  reported in the same JSON line under `angular_*` keys (BASELINE.md names
+  SIFT *and* GloVe-100 angular at equal memory; memory here is the raw f32
+  matrix in both cases — no quantization, so memory parity with the
+  reference's float index holds by construction).
 
 The run first executes an untimed warmup pass over identical shapes so the
 timings report steady-state device performance rather than XLA compilation
@@ -13,9 +20,10 @@ timings report steady-state device performance rather than XLA compilation
 repeat runs).
 
 vs_baseline compares against pynndescent (numba/CPU) on this workload. The
-reference cannot run in this image (numba is not installed); baseline
-constants estimated from pynndescent's published ann-benchmarks standing:
-~4000 QPS at recall ~0.95 and ~30 s build for 100k x 128 on a many-core CPU.
+reference cannot run in this image (numba is not installed); the baseline
+constants and their derivation from pynndescent's published ann-benchmarks
+standing are documented in BASELINE.md ("Derivation of the bench.py CPU
+baseline constants") — both chosen to favor the CPU side.
 """
 
 import json
@@ -33,6 +41,35 @@ def make_data(n, nq, d, seed=42):
     return train, queries
 
 
+def run_workload(NNDescent, train, queries, k, epsilon, metric, seed):
+    """Returns (build_seconds best-of-2, qps best-of-3, recall@k on 1k sample)."""
+    build_s = float("inf")
+    for rep in range(2):
+        t0 = time.perf_counter()
+        index = NNDescent(train, metric=metric, n_neighbors=k, random_state=seed + rep)
+        index.prepare()
+        np.asarray(index._search_graph)  # force completion (axon: block_until_ready is unreliable)
+        build_s = min(build_s, time.perf_counter() - t0)
+
+    qps = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        idx, dist = index.query(queries, k=k, epsilon=epsilon)
+        query_s = time.perf_counter() - t0
+        qps = max(qps, len(queries) / query_s)
+
+    rs = np.random.RandomState(0)
+    sample = rs.choice(len(queries), 1000, replace=False)
+    from sklearn.neighbors import NearestNeighbors
+
+    nn = NearestNeighbors(n_neighbors=k, metric=metric).fit(train)
+    true_idx = nn.kneighbors(queries[sample], k, return_distance=False)
+    hits = sum(
+        len(np.intersect1d(idx[s, :k], true_idx[j])) for j, s in enumerate(sample)
+    )
+    return build_s, qps, hits / (len(sample) * k)
+
+
 def main():
     import jax
 
@@ -43,46 +80,27 @@ def main():
 
     from pynndescent_tpu import NNDescent
 
-    n, d, nq, k = 100_000, 128, 10_000, 10
-    train, queries = make_data(n, nq, d)
+    n, nq, k = 100_000, 10_000, 10
     epsilon = 0.2
 
     # ---- warmup: compile every program at the benchmark shapes ----
-    wtrain, wq = make_data(n, nq, d, seed=7)
-    widx = NNDescent(wtrain, n_neighbors=k, random_state=7)
-    widx.prepare()
-    widx.query(wq, k=k, epsilon=epsilon)
+    for d_w, metric in ((128, "euclidean"), (100, "cosine")):
+        wtrain, wq = make_data(n, nq, d_w, seed=7)
+        widx = NNDescent(wtrain, metric=metric, n_neighbors=k, random_state=7)
+        widx.prepare()
+        widx.query(wq, k=k, epsilon=epsilon)
 
-    # ---- timed build (best of 2: tunnel timing variance is significant) ----
-    build_s = float("inf")
-    for rep in range(2):
-        t0 = time.perf_counter()
-        index = NNDescent(train, n_neighbors=k, random_state=42 + rep)
-        index.prepare()
-        np.asarray(index._search_graph)  # force completion (axon: block_until_ready is unreliable)
-        build_s = min(build_s, time.perf_counter() - t0)
-
-    # ---- timed query (steady-state serving throughput: best of 3 passes;
-    # the first pass on fresh buffers pays one-time layout/transfer costs) ----
-    qps = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        idx, dist = index.query(queries, k=k, epsilon=epsilon)
-        query_s = time.perf_counter() - t0
-        qps = max(qps, nq / query_s)
-
-    # ---- recall@10 on a sample vs brute force ----
-    rs = np.random.RandomState(0)
-    sample = rs.choice(nq, 1000, replace=False)
-    from sklearn.neighbors import NearestNeighbors
-
-    nn = NearestNeighbors(n_neighbors=k).fit(train)
-    true_idx = nn.kneighbors(queries[sample], k, return_distance=False)
-    hits = sum(
-        len(np.intersect1d(idx[s, :k], true_idx[j])) for j, s in enumerate(sample)
+    train, queries = make_data(n, nq, 128)
+    build_s, qps, recall = run_workload(
+        NNDescent, train, queries, k, epsilon, "euclidean", 42
     )
-    recall = hits / (len(sample) * k)
 
+    a_train, a_queries = make_data(n, nq, 100, seed=43)
+    a_build_s, a_qps, a_recall = run_workload(
+        NNDescent, a_train, a_queries, k, epsilon, "cosine", 44
+    )
+
+    # CPU reference constants; derivation in BASELINE.md
     baseline_build_s = 30.0
     baseline_qps = 4000.0
 
@@ -96,6 +114,9 @@ def main():
                 "recall_at_10": round(recall, 4),
                 "build_seconds": round(build_s, 2),
                 "build_vs_baseline": round(baseline_build_s / build_s, 3),
+                "angular_qps": round(a_qps, 1),
+                "angular_recall_at_10": round(a_recall, 4),
+                "angular_build_seconds": round(a_build_s, 2),
                 "epsilon": epsilon,
                 "device": str(jax.devices()[0]),
             }

@@ -34,6 +34,19 @@ def _ts():
 
     return datetime.datetime.now().strftime("%a %b %d %H:%M:%S %Y")
 
+
+def _check_finite(arr, name="data"):
+    """Reject NaN/inf inputs like sklearn's check_array (reference routes all
+    inputs through check_array, pynndescent_.py:1041-1057). Merge kernels
+    treat NaN as +inf, so bad rows would otherwise silently degrade recall
+    instead of erroring."""
+    if np.issubdtype(np.asarray(arr).dtype, np.floating):
+        if not np.all(np.isfinite(arr)):
+            raise ValueError(
+                f"Input {name} contains NaN or infinity; NNDescent requires "
+                "finite values (matching sklearn check_array semantics)."
+            )
+
 _ANGULAR_METRICS = (
     "cosine",
     "dot",
@@ -53,6 +66,17 @@ class NNDescent:
 
     Parameters mirror the reference's constructor; TPU-specific tuning knobs
     (block_rows, beam_width) are additive.
+
+    Compatibility no-ops — accepted for drop-in parity with the reference but
+    intentionally without effect on the TPU execution model:
+
+    * ``n_jobs``: XLA owns device/host threading; there is no thread pool to
+      cap (reference maps this to numba.set_num_threads).
+    * ``parallel_batch_queries``: queries are *always* batched in lockstep on
+      the device; there is no serial query mode to parallelize.
+    * ``low_memory``: the build is always the blocked, bounded-working-set
+      formulation (the reference's high-memory mode trades RAM for speed in
+      ways that do not apply to fixed-shape device programs).
     """
 
     def __init__(
@@ -90,6 +114,7 @@ class NNDescent:
         block_rows=nnd_ops.DEFAULT_BLOCK_ROWS,
         beam_width=None,
         search_dtype="bfloat16",
+        build_dtype=None,
     ):
         self.n_neighbors = n_neighbors
         self.metric = metric
@@ -114,6 +139,7 @@ class NNDescent:
         self.block_rows = block_rows
         self.beam_width = beam_width
         self.search_dtype = search_dtype
+        self.build_dtype = build_dtype
 
         # dtype policy (reference pynndescent_.py:1041-1057): f32 C-order
         # dense (CSR densified — see ops.sparse), u8 for bit-packed metrics
@@ -145,6 +171,7 @@ class NNDescent:
         else:
             data = np.ascontiguousarray(np.asarray(data, dtype=np.float32))
             self._input_dtype = np.float32
+            _check_finite(data, "data")
         if data.ndim == 1:
             data = data.reshape(-1, 1)
         n = data.shape[0]
@@ -179,9 +206,13 @@ class NNDescent:
                 raise NotImplementedError(
                     "custom callables are not supported on the padded-ELL sparse path"
                 )
+            if quantization is not None:
+                raise NotImplementedError(
+                    "quantization is not supported on the padded-ELL sparse "
+                    "path (the reference's quantization is dense-only, "
+                    "pynndescent_.py:2175)"
+                )
             self._set_ell_metric()
-            tree_init = False  # no ELL tree splits yet: random-init descent
-            self._angular_trees = False
 
         if metric == "dot" and self._ell is None:
             norms = np.linalg.norm(data, axis=1, keepdims=True)
@@ -207,14 +238,19 @@ class NNDescent:
             ).astype(jnp.uint32)
             # hyperplane splits don't need full precision — bf16 rows halve
             # the per-level gather traffic (distances stay f32 elsewhere);
-            # bit-packed data splits by closest anchor under popcount
-            split_X = self._X if self._is_bit else self._X.astype(jnp.bfloat16)
+            # bit-packed data splits by closest anchor under popcount; packed
+            # ELL rows must stay exact f32 (they carry integer indices)
+            if self._is_bit or self._ell is not None:
+                split_X = self._X
+            else:
+                split_X = self._X.astype(jnp.bfloat16)
             forest = rp_trees.build_forest_orders(
                 split_X,
                 seeds,
                 leaf_size,
-                rp_trees.forest_depth(n, leaf_size),
+                min(rp_trees.forest_depth(n, leaf_size), self.max_rptree_depth),
                 angular=self._angular_trees,
+                ell_nnz=self._ell["nnz"] if self._ell is not None else None,
             )
 
         init_state = None
@@ -245,6 +281,7 @@ class NNDescent:
             forest=forest,
             leaf_cap=min(leaf_size, 64),
             block_rows=block_rows,
+            compute_dtype=jnp.bfloat16 if build_dtype == "bfloat16" else None,
             verbose=verbose,
         )
         self._neighbor_graph = (np.asarray(idx), np.asarray(dist_internal))
@@ -281,12 +318,32 @@ class NNDescent:
         nnz = self._ell["nnz"]
         alt = sparse_ell.ELL_ALTERNATIVES.get(self.metric)
         if alt is not None:
-            self._internal_metric = sparse_ell.make_ell_metric(alt[0], nnz)
+            self._ell_internal_name = alt[0]
             self._distance_correction = alt[1]
         else:
-            self._internal_metric = sparse_ell.make_ell_metric(self.metric, nnz)
+            self._ell_internal_name = self.metric
             self._distance_correction = None
+        self._internal_metric = self._make_ell_closure(nnz, nnz)
         self._is_proxy = False
+
+    def _make_ell_closure(self, nnz_x, nnz_y):
+        """ELL metric closure for (x width, y width) packed operands; cached
+        so jitted stages see a stable static identity across calls."""
+        from pynndescent_tpu.ops import sparse_ell
+
+        cache = getattr(self, "_ell_metric_cache", None)
+        if cache is None:
+            cache = self._ell_metric_cache = {}
+        key = (self._ell_internal_name, nnz_x, nnz_y)
+        if key not in cache:
+            cache[key] = sparse_ell.make_ell_metric(
+                self._ell_internal_name,
+                nnz_x,
+                nnz_y,
+                n_features=self._ell["n_features"],
+                **self.metric_kwds,
+            )
+        return cache[key]
 
     def _set_distance_func(self):
         """Registry lookup with fast-alternative / proxy substitution
@@ -402,33 +459,56 @@ class NNDescent:
             self._X_search = self._X.astype(jnp.bfloat16)
         else:
             self._X_search = None
-        if self._ell is not None:
-            self._search_tree = None
-            return
 
-        # search tree (reference builds a graph-informed hub tree,
-        # rp_trees.py:1233; bit-packed data splits by closest anchor under
-        # popcount, like make_bit_hub_tree :2111)
-        seed = int(
-            np.asarray(
+        # search tree: graph-informed scored hub splits (reference
+        # make_hub_tree, rp_trees.py:1233; bit-packed data splits by closest
+        # anchor under popcount, like make_bit_hub_tree :2111). When
+        # n_search_trees > 1, that many candidate trees are built and the one
+        # whose leaves capture the most true neighbor pairs wins (reference
+        # pynndescent_.py:1353-1373 + score_linked_tree).
+        idx0, _ = self._neighbor_graph
+        degrees_dev = prune_ops.compute_degrees(jnp.asarray(idx0))
+        degrees = np.asarray(degrees_dev)
+        st_leaf_size = self.search_tree_leaf_size or max(
+            self.leaf_size, self.n_neighbors
+        )
+        st_depth = self.max_search_tree_depth or rp_trees.forest_depth(
+            self._X.shape[0], st_leaf_size
+        )
+        ell_nnz = self._ell["nnz"] if self._ell is not None else None
+        n_cand = max(1, int(self.n_search_trees))
+        seed_key = rng.derive(self._key, rng.ROLE_SEARCH, 1)
+        cand_seeds = [
+            int(s)
+            for s in np.asarray(
                 jax.random.randint(
-                    rng.derive(self._key, rng.ROLE_SEARCH, 1), (), 0, np.iinfo(np.int32).max
+                    seed_key, (n_cand,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
                 )
             )
-        )
-        # graph-informed hub search tree: anchors are high-degree members
-        # (reference make_hub_tree, rp_trees.py:1233)
-        idx0, _ = self._neighbor_graph
-        degrees = np.asarray(prune_ops.compute_degrees(jnp.asarray(idx0)))
+        ]
+        seed = cand_seeds[0]
+        if n_cand > 1:
+            best_score = -1.0
+            for cand in cand_seeds:
+                o, s, z = rp_trees.build_tree_order(
+                    self._X, jnp.uint32(cand), st_leaf_size, st_depth,
+                    angular=self._angular_trees, ell_nnz=ell_nnz,
+                    degrees=degrees_dev,
+                )
+                sc = rp_trees.score_tree(o, s, z, idx0)
+                if self.verbose:
+                    print(_ts(), f"search-tree candidate seed {cand}: score {sc:.4f}")
+                if sc > best_score:
+                    best_score, seed = sc, cand
         tree = rp_trees.flatten_search_tree(
             self._X,
             seed,
-            leaf_size=self.search_tree_leaf_size
-            or max(self.leaf_size, self.n_neighbors),
-            max_depth=self.max_search_tree_depth,
+            leaf_size=st_leaf_size,
+            max_depth=st_depth,
             angular=self._angular_trees,
             materialize=self.quantization is not None,
             degrees=degrees,
+            ell_nnz=ell_nnz,
         )
         self._search_tree = tree.to_arrays()
 
@@ -497,6 +577,7 @@ class NNDescent:
         self.prepare()
         from pynndescent_tpu.ops import sparse as sparse_ops
 
+        ell_query_nnz = None
         if sparse_ops.is_sparse(query_data):
             if self._ell is not None:
                 from pynndescent_tpu.ops import sparse_ell
@@ -506,42 +587,42 @@ class NNDescent:
                     from sklearn.preprocessing import normalize as _norm
 
                     qcsr = _norm(qcsr, norm="l2")
-                nnz = self._ell["nnz"]
-                counts = np.diff(qcsr.indptr)
-                if counts.max(initial=0) > nnz:
-                    # keep each query row's nnz largest-magnitude entries
-                    import scipy.sparse as _sp
-
-                    rows = []
-                    for i in range(qcsr.shape[0]):
-                        lo, hi = qcsr.indptr[i], qcsr.indptr[i + 1]
-                        if hi - lo > nnz:
-                            keep = np.argsort(-np.abs(qcsr.data[lo:hi]))[:nnz]
-                            rows.append((qcsr.indices[lo:hi][keep], qcsr.data[lo:hi][keep]))
-                        else:
-                            rows.append((qcsr.indices[lo:hi], qcsr.data[lo:hi]))
-                    indptr = np.cumsum([0] + [len(r[0]) for r in rows])
-                    qcsr = _sp.csr_matrix(
-                        (
-                            np.concatenate([r[1] for r in rows]),
-                            np.concatenate([r[0] for r in rows]),
-                            indptr,
-                        ),
-                        shape=qcsr.shape,
+                # queries pack at their OWN width: rows wider than the train
+                # nnz watermark are never truncated; the asymmetric metric
+                # closure handles mixed widths. Bucket to the train width or
+                # the next power of two so repeated query batches reuse the
+                # compiled search program.
+                if qcsr.shape[1] != self._ell["n_features"]:
+                    raise ValueError(
+                        f"query data has {qcsr.shape[1]} features but the "
+                        f"index was built with {self._ell['n_features']}"
                     )
-                query_data = sparse_ell.csr_to_ell_packed(qcsr, nnz)
+                nnz = self._ell["nnz"]
+                q_max = int(np.diff(qcsr.indptr).max(initial=1))
+                if q_max <= nnz:
+                    ell_query_nnz = nnz
+                else:
+                    ell_query_nnz = 1 << (q_max - 1).bit_length()
+                query_data = sparse_ell.csr_to_ell_packed(qcsr, ell_query_nnz)
             else:
                 query_data = sparse_ops.densify(query_data)
+        elif self._ell is not None:
+            raise ValueError(
+                "this index was built on sparse (padded-ELL) data; queries "
+                "must be scipy sparse matrices"
+            )
         qdtype = np.uint8 if self._is_bit else np.float32
         q = np.ascontiguousarray(np.asarray(query_data, qdtype))
         if q.ndim == 1:
             q = q.reshape(1, -1)
-        expected_dim = self._raw_data.shape[1]
-        if q.shape[1] != expected_dim:
-            raise ValueError(
-                f"query data has {q.shape[1]} features but the index was "
-                f"built with {expected_dim}"
-            )
+        _check_finite(q, "query data")
+        if self._ell is None:
+            expected_dim = self._raw_data.shape[1]
+            if q.shape[1] != expected_dim:
+                raise ValueError(
+                    f"query data has {q.shape[1]} features but the index was "
+                    f"built with {expected_dim}"
+                )
         if self.metric in ("cosine", "dot") and self._ell is None:
             norms = np.linalg.norm(q, axis=1, keepdims=True)
             q = q / np.where(norms == 0.0, 1.0, norms)
@@ -550,9 +631,11 @@ class NNDescent:
         is_proxy = self._is_proxy or self._quantized is not None
         if is_proxy:
             search_k = proxy_beam_size * k
-        elif use_bf16:
-            # modest over-fetch: the bf16 beam may mis-rank near-ties; the
-            # exact rerank below recovers them
+        elif use_bf16 or self._ell is not None:
+            # modest over-fetch: the bf16 beam may mis-rank near-ties (exact
+            # rerank below recovers them); on the exact ELL path the wider
+            # result set loosens the ε-bound d_k, matching the effective
+            # exploration of the dense path — the extra entries are dropped
             search_k = max(k + k // 2, k + 2)
         else:
             search_k = k
@@ -574,6 +657,12 @@ class NNDescent:
                 cast_candidates_f32=True,
             )
             search_q = q
+        elif self._ell is not None:
+            cand_X = self._X
+            dist_rowwise = nnd_ops._resolve_rowwise_metric(
+                self._make_ell_closure(ell_query_nnz, self._ell["nnz"]), None
+            )
+            search_q = q
         else:
             cand_X = self._X
             dist_rowwise = nnd_ops._resolve_rowwise_metric(
@@ -582,8 +671,17 @@ class NNDescent:
             search_q = q
 
         beam = self.beam_width or max(2 * search_k, 48)
+        # single upload: queries go to the device once; search results stay
+        # on device when a rerank follows (host round-trips through the
+        # device tunnel would otherwise dominate serving latency)
+        q_dev = jnp.asarray(q)
+        search_q_dev = q_dev if search_q is q else jnp.asarray(search_q)
+        tree_q_dev = None
+        if tree_queries is not None:
+            tree_q_dev = q_dev if tree_queries is q else jnp.asarray(tree_queries)
+        rerank_needed = is_proxy or use_bf16
         idx, d = search_ops.search(
-            search_q,
+            search_q_dev,
             cand_X,
             self._search_graph,
             self._search_tree,
@@ -593,10 +691,16 @@ class NNDescent:
             min_distance=min_distance,
             beam_width=beam,
             dist_rowwise=dist_rowwise,
-            tree_queries=tree_queries,
+            tree_queries=tree_q_dev,
+            ell=(
+                (ell_query_nnz, self._ell["nnz"])
+                if self._ell is not None
+                else None
+            ),
+            return_device=rerank_needed,
         )
-        if is_proxy or use_bf16:
-            idx, d = self._rerank(q, idx, k)
+        if rerank_needed:
+            idx, d = self._rerank(q_dev, idx, k)
         else:
             idx, d = idx[:, :k], d[:, :k]
             if self._distance_correction is not None:
@@ -615,6 +719,8 @@ class NNDescent:
         if name in ("kantorovich", "sinkhorn"):
             # host metrics: evaluate exactly on CPU (reference treats these
             # as expensive exact metrics behind proxies)
+            queries = np.asarray(queries)
+            cand_idx = np.asarray(cand_idx)
             d = np.full(cand_idx.shape, np.inf, np.float64)
             for i in range(cand_idx.shape[0]):
                 for j, c in enumerate(cand_idx[i]):
@@ -655,11 +761,46 @@ class NNDescent:
         if self._neighbor_graph is None:
             raise ValueError("Cannot update a compressed index")
         if self._ell is not None:
-            raise NotImplementedError(
-                "update() on the padded-ELL sparse path is not supported yet "
-                "(the reference likewise rejects sparse in-place updates, "
-                "pynndescent_.py:2412)"
-            )
+            # append-only, like the reference's sparse update
+            # (pynndescent_.py:2412, :2495-2496 rejects in-place mutation)
+            if xs_updated is not None:
+                raise NotImplementedError(
+                    "in-place updates are not supported on sparse indexes "
+                    "(reference pynndescent_.py:2412); append-only updates "
+                    "(xs_fresh) are"
+                )
+            if xs_fresh is not None:
+                from pynndescent_tpu.ops import sparse as sparse_ops
+                from pynndescent_tpu.ops import sparse_ell
+
+                if not sparse_ops.is_sparse(xs_fresh):
+                    raise ValueError(
+                        "xs_fresh must be a scipy sparse matrix for an index "
+                        "built on sparse data"
+                    )
+                fcsr = xs_fresh.tocsr()
+                if fcsr.shape[1] != self._ell["n_features"]:
+                    raise ValueError(
+                        f"xs_fresh has {fcsr.shape[1]} features but the index "
+                        f"was built with {self._ell['n_features']}"
+                    )
+                _check_finite(fcsr.data, "xs_fresh")
+                if self.metric == "dot":
+                    from sklearn.preprocessing import normalize as _norm
+
+                    fcsr = _norm(fcsr, norm="l2")
+                new_nnz = max(
+                    self._ell["nnz"], int(np.diff(fcsr.indptr).max(initial=1))
+                )
+                if new_nnz > self._ell["nnz"]:
+                    # fresh rows raise the row-width watermark: re-pad the
+                    # stored rows and rebuild the metric closures
+                    self._raw_data = sparse_ell.ell_repack(
+                        self._raw_data, self._ell["nnz"], new_nnz
+                    )
+                    self._ell["nnz"] = new_nnz
+                    self._set_ell_metric()
+                xs_fresh = sparse_ell.csr_to_ell_packed(fcsr, new_nnz)
         data = self._raw_data
         idx, dist = self._neighbor_graph
         n_old, k = idx.shape
@@ -668,6 +809,7 @@ class NNDescent:
             # coerce to the index's input dtype: uint8 rows for bit metrics
             # would be silently corrupted by a float32 cast
             xs_updated = np.ascontiguousarray(np.asarray(xs_updated, self._input_dtype))
+            _check_finite(xs_updated, "xs_updated")
             updated_indices = np.asarray(updated_indices, np.int64)
             if self.metric == "dot":
                 norms = np.linalg.norm(xs_updated, axis=1, keepdims=True)
@@ -685,7 +827,8 @@ class NNDescent:
 
         if xs_fresh is not None:
             xs_fresh = np.ascontiguousarray(np.asarray(xs_fresh, self._input_dtype))
-            if self.metric == "dot":
+            _check_finite(xs_fresh, "xs_fresh")
+            if self.metric == "dot" and self._ell is None:
                 norms = np.linalg.norm(xs_fresh, axis=1, keepdims=True)
                 xs_fresh = xs_fresh / np.where(norms == 0.0, 1.0, norms)
             data = np.vstack([data, xs_fresh])
@@ -704,13 +847,17 @@ class NNDescent:
         seeds = jax.random.randint(
             fkey, (self.n_trees_after_update,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
         ).astype(jnp.uint32)
-        split_X = self._X if self._is_bit else self._X.astype(jnp.bfloat16)
+        if self._is_bit or self._ell is not None:
+            split_X = self._X
+        else:
+            split_X = self._X.astype(jnp.bfloat16)
         forest = rp_trees.build_forest_orders(
             split_X,
             seeds,
             self.leaf_size,
-            rp_trees.forest_depth(n, self.leaf_size),
+            min(rp_trees.forest_depth(n, self.leaf_size), self.max_rptree_depth),
             angular=self._angular_trees,
+            ell_nnz=self._ell["nnz"] if self._ell is not None else None,
         )
 
         from pynndescent_tpu.ops.neighbors import state_from_graph
@@ -729,6 +876,11 @@ class NNDescent:
             forest=forest,
             leaf_cap=min(self.leaf_size, 64),
             block_rows=self.block_rows,
+            compute_dtype=(
+                jnp.bfloat16
+                if getattr(self, "build_dtype", None) == "bfloat16"
+                else None
+            ),
             verbose=self.verbose,
         )
         self._neighbor_graph = (np.asarray(new_idx), np.asarray(new_dist))
@@ -751,6 +903,7 @@ class NNDescent:
         # stored mode/codebook/metric name (reference pickles by recompiling
         # its jitted closures the same way, pynndescent_.py:1322-1331)
         state.pop("_quantized_rowwise", None)
+        state.pop("_ell_metric_cache", None)
         if self._ell is not None:
             state["_internal_metric"] = None
             state["_distance_correction"] = None

@@ -43,7 +43,7 @@ def _bound(dist_k, epsilon, min_distance):
     jax.jit,
     static_argnames=(
         "k", "beam_width", "dist_rowwise", "max_steps", "leaf_max",
-        "tree_depth", "tree_angular", "expansions_per_step",
+        "tree_depth", "tree_angular", "expansions_per_step", "ell",
     ),
 )
 def search_block(
@@ -64,6 +64,7 @@ def search_block(
     tree_depth: int,
     tree_angular: bool = False,
     expansions_per_step: int = 1,
+    ell: tuple | None = None,  # (query nnz, data nnz) for packed-ELL rows
 ):
     q = queries.shape[0]
     n = X.shape[0]
@@ -74,7 +75,7 @@ def search_block(
     if tree is not None:
         coins = jax.random.bits(k_coin, (q,), jnp.uint32)
         tq = queries if tree_queries is None else tree_queries
-        lo, hi = descend_tree(tree, X, tq, coins, tree_depth, tree_angular)
+        lo, hi = descend_tree(tree, X, tq, coins, tree_depth, tree_angular, ell=ell)
         offs = lo[:, None] + jnp.arange(leaf_max, dtype=jnp.int32)[None, :]
         seed_ids = jnp.where(
             offs < hi[:, None], tree["tree_order"][jnp.minimum(offs, n - 1)], -1
@@ -152,9 +153,13 @@ def search(
     batch_size: int = 8192,
     tree_queries=None,
     expansions_per_step: int = 2,
+    ell: tuple | None = None,
+    return_device: bool = False,
 ):
     """Batched driver over query blocks (pads the final block so one compiled
-    program serves any query count)."""
+    program serves any query count). With ``return_device=True`` results stay
+    on device (callers that rerank avoid a host round-trip — significant on
+    tunneled devices)."""
     queries = jnp.asarray(queries)
     nq = queries.shape[0]
     if beam_width is None:
@@ -237,7 +242,16 @@ def search(
             tree_depth=tree_depth,
             tree_angular=bool(tree["angular"]) if tree is not None else False,
             expansions_per_step=int(expansions_per_step),
+            ell=ell,
         )
-        out_idx.append(np.asarray(idx)[: e - s])
-        out_dist.append(np.asarray(dist)[: e - s])
+        if return_device:
+            out_idx.append(idx[: e - s])
+            out_dist.append(dist[: e - s])
+        else:
+            out_idx.append(np.asarray(idx)[: e - s])
+            out_dist.append(np.asarray(dist)[: e - s])
+    if return_device:
+        if len(out_idx) == 1:
+            return out_idx[0], out_dist[0]
+        return jnp.concatenate(out_idx, 0), jnp.concatenate(out_dist, 0)
     return np.concatenate(out_idx, 0), np.concatenate(out_dist, 0)

@@ -97,12 +97,22 @@ def merge_candidates(
     # NaN-safe: treat non-finite candidate distances as invalid.
     all_dist = jnp.where(jnp.isnan(all_dist), jnp.inf, all_dist)
     d_comb, d_dist = _dedup_keys(all_idx, all_dist, age)
-    m_dist, m_comb = jax.lax.sort((d_dist, d_comb), num_keys=1, dimension=-1)
-    new_idx = m_comb[..., :k] >> 2  # arithmetic shift: -1 ids stay negative
-    new_dist = m_dist[..., :k]
+    width = d_dist.shape[-1]
+    if k <= 64 and 4 * k <= width:
+        # selecting k << width: top_k beats a second full sort (ties keep
+        # the dedup order's first occurrence, like the stable sort did)
+        neg_top, pos = jax.lax.top_k(-d_dist, k)
+        m_dist = -neg_top
+        m_comb = jnp.take_along_axis(d_comb, pos, axis=-1)
+    else:
+        m_dist, m_comb = jax.lax.sort((d_dist, d_comb), num_keys=1, dimension=-1)
+        m_dist = m_dist[..., :k]
+        m_comb = m_comb[..., :k]
+    new_idx = m_comb >> 2  # arithmetic shift: -1 ids stay negative
+    new_dist = m_dist
     # slots holding dedup-invalidated entries (dist == inf) are empty
     new_idx = jnp.where(jnp.isinf(new_dist), -1, new_idx)
-    new_flag = ((m_comb[..., :k] & 3) >= 1) & (new_idx >= 0)
+    new_flag = ((m_comb & 3) >= 1) & (new_idx >= 0)
     n_changes = jnp.sum((new_idx != idx) & (new_idx >= 0))
     return NeighborState(new_idx, new_dist, new_flag), n_changes
 

@@ -131,9 +131,9 @@ def _reverse_sample(idx, pri, slot, mask, n, c):
 
     This replaces the reference's owner-computes reverse candidate pass
     (utils.py:259-306) with one elementwise scatter-min + one gather.
-    (An exact segmented-sort formulation gives identical recall but costs
-    ~40s of XLA sort compilation per shape; the reservoir's scatter-min
-    compiles in ~2s and runs in microseconds.)
+    Used at small n, where its ~2s compile beats the segmented sort's;
+    at scale the fused sort path (_reverse_samples_sorted) is faster per
+    iteration.
 
     Returns (reverse candidates [n, c], per-edge win mask [n, k]).
     """
@@ -147,6 +147,60 @@ def _reverse_sample(idx, pri, slot, mask, n, c):
     rcand = jnp.full((n + 1, c), -1, jnp.int32)
     rcand = rcand.at[tgt, slot].max(jnp.where(won, src, -1))
     return rcand[:n], won
+
+
+# below this many vertices the reservoir's cheap compile wins; above it the
+# fused segmented sort's per-iteration speed wins (persistent-cache-friendly)
+REVERSE_SAMPLE_SORT_MIN_N = 32768
+
+
+def _reverse_samples_sorted(idx, pri, new_mask, old_mask, n, c):
+    """Exact reverse candidate sampling for BOTH the new and old edge sets
+    with one segmented sort over all directed edges.
+
+    Edges are keyed by (target*2 + is_new, priority); after sorting, the
+    first c edges of each (target, age) group win. Replaces two collision-
+    prone scatter-min reservoirs with one sort + two provably-unique
+    scatters (reference analog: new_build_candidates' reverse pushes,
+    utils.py:285-306).
+
+    Returns (rev_new [n, c], rev_old [n, c], won_new mask [n, k]).
+    """
+    k = idx.shape[1]
+    nk = n * k
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], idx.shape)
+    is_new = new_mask
+    valid = new_mask | old_mask
+    group = jnp.where(
+        valid, idx * 2 + is_new.astype(jnp.int32), 2 * n + 2
+    ).reshape(-1)
+    p = jnp.where(valid, pri, jnp.inf).reshape(-1)
+    eid = jnp.arange(nk, dtype=jnp.int32)
+    g_s, p_s, s_s, e_s = jax.lax.sort(
+        (group, p, src.reshape(-1), eid), num_keys=2
+    )
+    posn = jnp.arange(nk, dtype=jnp.int32)
+    is_head = jnp.concatenate([jnp.ones((1,), bool), g_s[1:] != g_s[:-1]])
+    group_start = jax.lax.cummax(jnp.where(is_head, posn, -1))
+    rank = posn - group_start
+    keep = (rank < c) & (g_s < 2 * n)
+    tgt_s = g_s >> 1
+    rows = jnp.where(keep, tgt_s, n)
+    cols = jnp.where(keep, rank, 0)
+    new_s = (g_s & 1) == 1
+    rn = jnp.full((n + 1, c), -1, jnp.int32).at[
+        jnp.where(new_s, rows, n), cols
+    ].set(s_s, mode="drop", unique_indices=True)
+    ro = jnp.full((n + 1, c), -1, jnp.int32).at[
+        jnp.where(new_s, n, rows), cols
+    ].set(s_s, mode="drop", unique_indices=True)
+    won_new = (
+        jnp.zeros((nk,), bool)
+        .at[jnp.where(keep & new_s, e_s, nk)]
+        .set(True, mode="drop", unique_indices=True)
+        .reshape(n, k)
+    )
+    return rn[:n], ro[:n], won_new
 
 
 def _compact_rows(rows, key):
@@ -186,12 +240,18 @@ def build_candidates(state: NeighborState, key, max_candidates: int) -> Candidat
     fwd_old, _, _ = _forward_sample(state.idx, pri, old_mask, c)
 
     k_rn, k_ro, k_sn, k_so = jax.random.split(k_rn, 4)
-    rpri_n = jax.random.uniform(k_rn, (n, k))
-    rpri_o = jax.random.uniform(k_ro, (n, k))
-    slot_n = jax.random.randint(k_sn, (n, k), 0, c, dtype=jnp.int32)
-    slot_o = jax.random.randint(k_so, (n, k), 0, c, dtype=jnp.int32)
-    rev_new, won_new = _reverse_sample(state.idx, rpri_n, slot_n, new_mask, n, c)
-    rev_old, _ = _reverse_sample(state.idx, rpri_o, slot_o, old_mask, n, c)
+    if n >= REVERSE_SAMPLE_SORT_MIN_N:
+        rpri = jax.random.uniform(k_rn, (n, k))
+        rev_new, rev_old, won_new = _reverse_samples_sorted(
+            state.idx, rpri, new_mask, old_mask, n, c
+        )
+    else:
+        rpri_n = jax.random.uniform(k_rn, (n, k))
+        rpri_o = jax.random.uniform(k_ro, (n, k))
+        slot_n = jax.random.randint(k_sn, (n, k), 0, c, dtype=jnp.int32)
+        slot_o = jax.random.randint(k_so, (n, k), 0, c, dtype=jnp.int32)
+        rev_new, won_new = _reverse_sample(state.idx, rpri_n, slot_n, new_mask, n, c)
+        rev_old, _ = _reverse_sample(state.idx, rpri_o, slot_o, old_mask, n, c)
 
     # Clear flags of new edges consumed this round: forward-sampled ones and
     # reverse winners (reference clears on priority match, utils.py:285-306).
@@ -449,11 +509,19 @@ def nn_descent(
     block_rows: int = DEFAULT_BLOCK_ROWS,
     hop2_new_samples: int | None = None,
     hop2_old_samples: int | None = None,
+    compute_dtype=None,
     verbose: bool = False,
 ):
     """Full NN-descent driver (reference: nn_descent, pynndescent_.py:324).
 
     Returns (indices i32[n, k], distances f32[n, k]) sorted ascending.
+
+    ``compute_dtype=jnp.bfloat16`` runs the join's candidate gathers and
+    distance tiles in bfloat16 (half the HBM gather traffic of the hottest
+    loop); the returned distances are made exact again by a final f32
+    rerank of the surviving [n, k] pairs. Only near-tie merge decisions can
+    differ from the f32 path. Applied only to float32 data with registry
+    (string) metrics.
     """
     X = jnp.asarray(X)
     n = X.shape[0]
@@ -473,6 +541,16 @@ def nn_descent(
     if leaf_cap is None:
         leaf_cap = 64
 
+    if (
+        compute_dtype is not None
+        and X.dtype == jnp.float32
+        and isinstance(metric, str)
+    ):
+        X_join = X.astype(compute_dtype)
+    else:
+        X_join = X
+        compute_dtype = None
+
     state = init_graph if init_graph is not None else make_neighbor_state(n, k)
 
     # Staged jitted pipeline: each stage is a module-level jit with static
@@ -484,18 +562,18 @@ def nn_descent(
         orders, starts, sizes = forest
         for t in range(int(orders.shape[0])):
             state = _jit_tree_init(
-                state, X, orders[t], starts[t], sizes[t],
+                state, X_join, orders[t], starts[t], sizes[t],
                 dist_rowwise=dist_rowwise, leaf_cap=leaf_cap,
             )
     state = _jit_init_random(
-        state, X, rng.derive(key, rng.ROLE_DESCENT_INIT),
+        state, X_join, rng.derive(key, rng.ROLE_DESCENT_INIT),
         n_extra=k, dist_rowwise=dist_rowwise,
     )
 
     stop_count = delta * k * n
     for it in range(n_iters):
         state, changes = _jit_iteration(
-            state, X, rng.derive(key, rng.ROLE_DESCENT_ITER, it),
+            state, X_join, rng.derive(key, rng.ROLE_DESCENT_ITER, it),
             max_candidates=max_candidates,
             dist_rowwise=dist_rowwise,
             block_rows=min(block_rows, n),
@@ -509,7 +587,38 @@ def nn_descent(
                 print(f"\tStopping threshold met -- exiting after {it + 1} iterations")
             break
 
-    return _jit_sort(state.idx, state.dist)
+    idx, dist = _jit_sort(state.idx, state.dist)
+    if compute_dtype is not None:
+        idx, dist = exact_rerank_graph(X, idx, dist_rowwise=dist_rowwise)
+    return idx, dist
+
+
+@functools.partial(jax.jit, static_argnames=("dist_rowwise", "block_rows"))
+def exact_rerank_graph(X, idx, *, dist_rowwise, block_rows: int = 65536):
+    """Recompute exact f32 distances of the graph's surviving pairs and
+    re-sort each row (the cheap final step of the bf16-join mode)."""
+    n, k = idx.shape
+    b = min(block_rows, n)
+    n_blocks = -(-n // b)
+
+    def body(blk, carry):
+        oidx, odist = carry
+        s0 = jnp.minimum(blk * b, n - b)
+        rows = s0 + jnp.arange(b, dtype=jnp.int32)
+        bi = idx[rows]
+        d = dist_rowwise(X[rows], X[jnp.maximum(bi, 0)])
+        d = jnp.where(bi < 0, jnp.inf, d)
+        sd, si = jax.lax.sort((d, bi), num_keys=1, dimension=-1)
+        return (
+            oidx.at[rows].set(si, unique_indices=True),
+            odist.at[rows].set(jnp.where(jnp.isinf(sd), jnp.inf, sd), unique_indices=True),
+        )
+
+    out = jax.lax.fori_loop(
+        0, n_blocks, body,
+        (jnp.zeros_like(idx), jnp.full(idx.shape, jnp.inf, jnp.float32)),
+    )
+    return out
 
 
 _jit_tree_init = jax.jit(

@@ -93,21 +93,30 @@ def _bit_margin(x, xa, xb):
 
 def _segment_cumsum_stats(values, start, size):
     """For per-position int values inside contiguous node slices, return
-    (prefix_within_node_exclusive, total_within_node)."""
-    cum = jnp.cumsum(values)  # inclusive
-    before_node = jnp.where(start > 0, cum[jnp.maximum(start - 1, 0)], 0)
-    node_end = start + size - 1
-    total = cum[node_end] - before_node
+    (prefix_within_node_exclusive, total_within_node). ``values`` may carry
+    leading batch axes ([..., n]); ``start``/``size`` are [n] and broadcast —
+    one cumsum serves all stacked rows."""
+    cum = jnp.cumsum(values, axis=-1)  # inclusive
+    before_node = jnp.where(
+        start > 0, jnp.take(cum, jnp.maximum(start - 1, 0), axis=-1), 0
+    )
+    total = jnp.take(cum, start + size - 1, axis=-1) - before_node
     prefix_excl = cum - values - before_node
     return prefix_excl, total
 
 
-def _hub_anchor_offsets(order, start, size, level, seed, degrees, n):
+# bail-to-leaf threshold for scored hub splits (reference MIN_SPLIT_BALANCE,
+# rp_trees.py:798)
+MIN_SPLIT_BALANCE = 0.1
+
+
+def _hub_anchor_points(order, start, size, level, seed, degrees, n):
     """Graph-informed anchor choice (the reference's hub trees,
     rp_trees.py:680-2170, pick top-in-degree members and split on hub-pair
     hyperplanes): sample 4 member offsets per node by counter hash and keep
-    the two with the highest global degree. Deterministic and shared by all
-    node members, like the random variant."""
+    the *three* with the highest global degree (the reference's top-3 hubs,
+    get_top_k_hub_indices :747). Deterministic and shared by all node
+    members. Returns point ids h1, h2, h3 (descending degree)."""
     offs = []
     degs = []
     for smp in range(4):
@@ -122,66 +131,140 @@ def _hub_anchor_offsets(order, start, size, level, seed, degrees, n):
         degs.append(d)
     offs = jnp.stack(offs)  # [4, n]
     degs = jnp.stack(degs)
-    a_sel = jnp.argmax(degs, axis=0)
-    a_off = jnp.take_along_axis(offs, a_sel[None], axis=0)[0]
-    degs2 = degs.at[a_sel, jnp.arange(offs.shape[1])].set(-2)
-    b_sel = jnp.argmax(degs2, axis=0)
-    b_off = jnp.take_along_axis(offs, b_sel[None], axis=0)[0]
-    b_off = jnp.where(b_off == a_off, (a_off + 1) % jnp.maximum(size, 1), b_off)
-    return a_off, b_off
+    cols = jnp.arange(offs.shape[1])
+    picked = []
+    for _ in range(3):
+        sel = jnp.argmax(degs, axis=0)
+        off = jnp.take_along_axis(offs, sel[None], axis=0)[0]
+        degs = degs.at[sel, cols].set(jnp.iinfo(jnp.int32).min)
+        picked.append(off)
+    h1_off, h2_off, h3_off = picked
+    # degenerate tiny nodes may repeat offsets; nudge apart within the node
+    h2_off = jnp.where(h2_off == h1_off, (h1_off + 1) % jnp.maximum(size, 1), h2_off)
+    h3_off = jnp.where(
+        (h3_off == h1_off) | (h3_off == h2_off),
+        (h2_off + 1) % jnp.maximum(size, 1),
+        h3_off,
+    )
+    def pt(off):
+        return order[jnp.clip(start + jnp.minimum(off, size - 1), 0, n - 1)]
+
+    return pt(h1_off), pt(h2_off), pt(h3_off)
+
+
+
+
+def _anchor_scores(X, norms, x, pts, angular, ell_nnz):
+    """Per-point score s against anchor point ids ``pts``; the hyperplane
+    margin of an anchor pair (a, b) is ``s_a - s_b``:
+
+    * dense euclidean: s = <x, xa> - ||xa||^2/2
+    * angular:         s = <x, xa> / ||xa||
+    * bit-packed:      s = -hamming(x, xa)  (closest-anchor assignment)
+    * packed ELL:      same formulas through sparse_dot
+    """
+    xa = X[pts]
+    if ell_nnz is not None:
+        from pynndescent_tpu.ops import sparse_ell as se
+
+        if isinstance(ell_nnz, tuple):
+            nnz_x, nnz_a = ell_nnz  # x and anchor rows may differ in width
+        else:
+            nnz_x = nnz_a = ell_nnz
+        da = se.sparse_dot(x, xa, nnz_x, nnz_a)
+        if angular:
+            return da / jnp.maximum(norms[pts], 1e-8)
+        return da - 0.5 * se._sq_norm(xa, nnz_a)
+    if X.dtype == jnp.uint8:
+        ham = jnp.sum(
+            jax.lax.population_count(jnp.bitwise_xor(x, xa)).astype(jnp.int32), axis=-1
+        )
+        return -ham.astype(jnp.float32)
+    d = jnp.sum(x * xa, axis=-1)
+    if angular:
+        return d / jnp.maximum(norms[pts], 1e-8)
+    return d - 0.5 * jnp.sum(xa * xa, axis=-1)
 
 
 def _split_level(X, norms, order, start, size, level, seed, leaf_size, angular,
-                 degrees=None):
-    """Split every active node at one level. Returns updated (order, start, size)."""
+                 degrees=None, ell_nnz=None, sealed=None):
+    """Split every active node at one level.
+
+    Random mode (``degrees is None``): two hash-chosen anchors per node;
+    degenerate all-one-side splits fall back to random assignment
+    (reference rp_trees.py:144-155).
+
+    Hub mode (``degrees`` given): three top-in-degree anchors per node, all
+    three pair hyperplanes are *scored by balance* and the best is kept; a
+    node whose best balance is below MIN_SPLIT_BALANCE bails to a leaf
+    (reference euclidean_hub_split, rp_trees.py:798-933).
+
+    Returns ``(order, start, size, sealed), (a_pt, b_pt)`` where the anchor
+    arrays are aligned to the *entering* positions (what each node at this
+    level split on — consumed by the tree flattener).
+    """
     n = X.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
-    done = size <= leaf_size
+    if sealed is None:
+        sealed = jnp.zeros(n, bool)
+    done = (size <= leaf_size) | sealed
+    x = X[order]
 
-    # --- choose two distinct anchor offsets per node (shared by all members
-    # via the (seed, level, start) hash); hub-aware when degrees given ------
+    # tie -> per-point coin flip (reference rp_trees.py:131-143)
+    coin = (_hash3(seed, jnp.uint32(level), order.astype(jnp.uint32)) & 1).astype(bool)
+
     if degrees is not None:
-        a_off, b_off = _hub_anchor_offsets(order, start, size, level, seed, degrees, n)
+        h1, h2, h3 = _hub_anchor_points(order, start, size, level, seed, degrees, n)
+        s1 = _anchor_scores(X, norms, x, h1, angular, ell_nnz)
+        s2 = _anchor_scores(X, norms, x, h2, angular, ell_nnz)
+        s3 = _anchor_scores(X, norms, x, h3, angular, ell_nnz)
+        sides, apts, bpts = [], [], []
+        for pa, pb, sa, sb in ((h1, h2, s1, s2), (h1, h3, s1, s3), (h2, h3, s2, s3)):
+            m = sa - sb
+            sd = jnp.where(m > 0, True, jnp.where(m < 0, False, coin))
+            sides.append(jnp.where(done, False, sd))
+            apts.append(pa)
+            bpts.append(pb)
+        sides = jnp.stack(sides)  # [3, n]
+        # one batched cumsum scores all three pair hyperplanes at once
+        prefixes, totals = _segment_cumsum_stats((~sides).astype(jnp.int32), start, size)
+        bals = jnp.minimum(totals, size - totals).astype(jnp.float32) / jnp.maximum(
+            size, 1
+        ).astype(jnp.float32)
+        best = jnp.argmax(bals, axis=0)  # [n] (node-uniform: bal is)
+        take = lambda arrs: jnp.take_along_axis(arrs, best[None], axis=0)[0]
+        side = take(sides)
+        best_bal = take(bals)
+        rank_left = take(prefixes)
+        n_left = take(totals)
+        a_pt = take(jnp.stack(apts))
+        b_pt = take(jnp.stack(bpts))
+        # bail to leaf: hopelessly unbalanced nodes stop splitting for good
+        newly_sealed = (~done) & (best_bal < MIN_SPLIT_BALANCE)
+        sealed = sealed | newly_sealed
+        done = done | newly_sealed
+        side = jnp.where(done, False, side)
     else:
         a_off = _hash_mod(seed, jnp.uint32(level * 2 + 1), start.astype(jnp.uint32), size)
         b_off = _hash_mod(seed, jnp.uint32(level * 2 + 2), start.astype(jnp.uint32), jnp.maximum(size - 1, 1))
         b_off = jnp.where(b_off >= a_off, b_off + 1, b_off)
-    b_off = jnp.minimum(b_off, size - 1)
+        b_off = jnp.minimum(b_off, size - 1)
+        a_pt = order[jnp.clip(start + a_off, 0, n - 1)]
+        b_pt = order[jnp.clip(start + b_off, 0, n - 1)]
+        margin = _anchor_scores(X, norms, x, a_pt, angular, ell_nnz) - _anchor_scores(
+            X, norms, x, b_pt, angular, ell_nnz
+        )
+        side_m = jnp.where(done, False, jnp.where(margin > 0, True, jnp.where(margin < 0, False, coin)))
+        side_c = jnp.where(done, False, coin)
+        # one batched cumsum covers both the margin side and the coin
+        # fallback (degenerate all-one-side splits -> random assignment)
+        stacked = jnp.stack([(~side_m).astype(jnp.int32), (~side_c).astype(jnp.int32)])
+        prefixes, totals = _segment_cumsum_stats(stacked, start, size)
+        degenerate = (~done) & ((totals[0] == 0) | (totals[0] == size))
+        side = jnp.where(degenerate, side_c, side_m)
+        rank_left = jnp.where(degenerate, prefixes[1], prefixes[0])
+        n_left = jnp.where(degenerate, totals[1], totals[0])
 
-    a_pt = order[jnp.clip(start + a_off, 0, n - 1)]
-    b_pt = order[jnp.clip(start + b_off, 0, n - 1)]
-    xa = X[a_pt]
-    xb = X[b_pt]
-    x = X[order]
-
-    if X.dtype == jnp.uint8:
-        # bit-packed split: assign to the closer of the two anchors by
-        # hamming distance (the TPU-native form of the reference's
-        # XOR/popcount bitpacked hyperplanes, rp_trees.py:193-301)
-        margin = _bit_margin(x, xa, xb)
-    elif angular:
-        na = jnp.maximum(norms[a_pt], 1e-8)[:, None]
-        nb = jnp.maximum(norms[b_pt], 1e-8)[:, None]
-        hyper = xa / na - xb / nb
-        margin = jnp.sum(x * hyper, axis=-1)
-    else:
-        hyper = xa - xb
-        offset = jnp.sum(hyper * (xa + xb) * 0.5, axis=-1)
-        margin = jnp.sum(x * hyper, axis=-1) - offset
-
-    # tie -> per-point coin flip (reference rp_trees.py:131-143)
-    coin = (_hash3(seed, jnp.uint32(level), order.astype(jnp.uint32)) & 1).astype(bool)
-    side = jnp.where(margin > 0, True, jnp.where(margin < 0, False, coin))
-
-    # --- degenerate split: everything on one side -> random assignment ------
-    is_left = (~side).astype(jnp.int32)
-    _, n_left = _segment_cumsum_stats(is_left, start, size)
-    degenerate = (~done) & ((n_left == 0) | (n_left == size))
-    side = jnp.where(degenerate, coin, side)
-
-    side = jnp.where(done, False, side)
-    is_left = (~side).astype(jnp.int32)
-    rank_left, n_left = _segment_cumsum_stats(is_left, start, size)
     rank_right = (pos - start) - rank_left
 
     new_pos = jnp.where(side, start + n_left + rank_right, start + rank_left)
@@ -191,40 +274,67 @@ def _split_level(X, norms, order, start, size, level, seed, leaf_size, angular,
 
     # new_pos is a permutation: declare indices unique so XLA emits a
     # vectorized scatter instead of a serialized collision-safe loop
-    order = jnp.zeros_like(order).at[new_pos].set(order, unique_indices=True)
+    out_order = jnp.zeros_like(order).at[new_pos].set(order, unique_indices=True)
     out_start = jnp.zeros_like(start).at[new_pos].set(new_start, unique_indices=True)
     out_size = jnp.zeros_like(size).at[new_pos].set(new_size, unique_indices=True)
-    return order, out_start, out_size
+    out_sealed = jnp.zeros_like(sealed).at[new_pos].set(sealed, unique_indices=True)
+    return (out_order, out_start, out_size, out_sealed), (a_pt, b_pt)
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_size", "max_depth", "angular"))
-def build_tree_order(X, seed, leaf_size: int, max_depth: int, angular: bool = False):
+def _tree_norms(X, angular, ell_nnz=None):
+    if not angular or X.dtype == jnp.uint8:
+        return jnp.zeros((X.shape[0],), jnp.float32)
+    if ell_nnz is not None:
+        from pynndescent_tpu.ops import sparse_ell as se
+
+        return jnp.sqrt(se._sq_norm(X, ell_nnz))
+    return jnp.linalg.norm(X, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("leaf_size", "max_depth", "angular", "ell_nnz")
+)
+def build_tree_order(X, seed, leaf_size: int, max_depth: int, angular: bool = False,
+                     ell_nnz: int | None = None, degrees=None):
     """Build one RP tree, returning the node-location encoding:
 
     order i32[n] — point ids grouped so every leaf is a contiguous slice
     start i32[n] — per position, the first position of its leaf slice
     size  i32[n] — per position, its leaf's member count
 
+    With ``degrees`` the splits are scored hub splits (used to *score*
+    candidate search trees before flattening the winner).
     (Replaces the reference's recursive make_*_tree, rp_trees.py:2173-2641.)
     """
     n = X.shape[0]
-    if angular and X.dtype != jnp.uint8:
-        norms = jnp.linalg.norm(X, axis=-1)
-    else:
-        norms = jnp.zeros((n,), jnp.float32)
+    norms = _tree_norms(X, angular, ell_nnz)
     order = jnp.arange(n, dtype=jnp.int32)
     start = jnp.zeros(n, jnp.int32)
     size = jnp.full(n, n, jnp.int32)
+    sealed = jnp.zeros(n, bool)
 
-    def body(level, carry):
-        order, start, size = carry
-        return _split_level(X, norms, order, start, size, level, seed, leaf_size, angular)
+    # while_loop with an all-done early exit: max_depth carries slack for
+    # degenerate splits, but typical trees finish ~40% shallower — each saved
+    # level saves three full row-gather passes
+    def cond(carry):
+        level, _, _, size, sealed = carry
+        return (level < max_depth) & jnp.any((size > leaf_size) & ~sealed)
 
-    order, start, size = jax.lax.fori_loop(0, max_depth, body, (order, start, size))
+    def body(carry):
+        level, order, start, size, sealed = carry
+        new, _ = _split_level(X, norms, order, start, size, level, seed, leaf_size,
+                              angular, ell_nnz=ell_nnz, sealed=sealed,
+                              degrees=degrees)
+        return (level + 1,) + new
+
+    _, order, start, size, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), order, start, size, sealed)
+    )
     return order, start, size
 
 
-def build_forest_orders(X, seeds, leaf_size: int, max_depth: int, angular: bool = False):
+def build_forest_orders(X, seeds, leaf_size: int, max_depth: int, angular: bool = False,
+                        ell_nnz: int | None = None):
     """Tree construction over per-tree seeds -> [n_trees, n] encodings
     (replaces joblib-thread forest orchestration, rp_trees.py:2815-2880).
 
@@ -237,7 +347,8 @@ def build_forest_orders(X, seeds, leaf_size: int, max_depth: int, angular: bool 
     n_trees = int(seeds.shape[0])
     workset = 3 * n_trees * n * d * 4  # bytes of gathered rows per level
     fn = functools.partial(
-        build_tree_order, X, leaf_size=leaf_size, max_depth=max_depth, angular=angular
+        build_tree_order, X, leaf_size=leaf_size, max_depth=max_depth, angular=angular,
+        ell_nnz=ell_nnz,
     )
     if workset <= 4 << 30:
         return jax.vmap(fn)(seeds)
@@ -332,75 +443,84 @@ class FlatTree:
         )
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_size", "max_depth", "angular"))
+def default_head_cap(n: int, leaf_size: int) -> int:
+    """Static bound on nodes per level for the compact trace. Typical trees
+    have ~n/leaf_size leaves; 4x slack + a floor covers skewed splits."""
+    return int(min(n, max(512, 4 * (n // max(leaf_size, 1)) + 64)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf_size", "max_depth", "angular", "ell_nnz", "head_cap"),
+)
 def build_tree_trace(X, seed, leaf_size: int, max_depth: int, angular: bool = False,
-                     degrees=None):
-    """Like build_tree_order but returns per-level snapshots of
-    (order, start, size) entering each level, for host-side flattening.
-    With ``degrees`` the splits are hub-aware (graph-informed search tree)."""
+                     degrees=None, ell_nnz: int | None = None,
+                     head_cap: int | None = None):
+    """Like build_tree_order but additionally emits a *compact per-level node
+    table* for host-side flattening: for each level, the (sorted) start
+    positions of its nodes, their sizes, and the anchor point ids they split
+    on. Compacting on device keeps the host transfer at O(depth x nodes)
+    instead of O(depth x n) — the host never re-derives the anchor choice.
+
+    Returns ``(order, head_pos, head_size, head_a, head_b, n_heads)``:
+
+    * ``order`` i32[n] — final point permutation (leaf members contiguous)
+    * ``head_pos`` i32[depth+1, cap] — node start positions per level
+      (ascending, padded with n); level ``depth`` describes the final state
+    * ``head_size`` i32[depth+1, cap] — node sizes at those positions
+    * ``head_a``/``head_b`` i32[depth, cap] — split anchor point ids
+    * ``n_heads`` i32[depth+1] — true node count per level (overflow check)
+    """
     n = X.shape[0]
-    if angular and X.dtype != jnp.uint8:
-        norms = jnp.linalg.norm(X, axis=-1)
-    else:
-        norms = jnp.zeros((n,), jnp.float32)
+    if head_cap is None:
+        head_cap = default_head_cap(n, leaf_size)
+    M = int(head_cap)
+    norms = _tree_norms(X, angular, ell_nnz)
     order = jnp.arange(n, dtype=jnp.int32)
     start = jnp.zeros(n, jnp.int32)
     size = jnp.full(n, n, jnp.int32)
+    sealed = jnp.zeros(n, bool)
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    def compact(start, size, a_pt, b_pt):
+        heads = pos == start
+        key = jnp.where(heads, pos, n)
+        hp = jnp.sort(key)[:M]
+        safe = jnp.minimum(hp, n - 1)
+        hsize = jnp.where(hp < n, size[safe], -1)
+        ha = jnp.where(hp < n, a_pt[safe], -1) if a_pt is not None else None
+        hb = jnp.where(hp < n, b_pt[safe], -1) if b_pt is not None else None
+        return hp, hsize, ha, hb, jnp.sum(heads).astype(jnp.int32)
 
     def step(carry, level):
-        order, start, size = carry
-        new = _split_level(X, norms, order, start, size, level, seed, leaf_size, angular,
-                           degrees=degrees)
-        return new, carry
-
-    (order, start, size), snaps = jax.lax.scan(
-        step, (order, start, size), jnp.arange(max_depth)
-    )
-    order_snaps = jnp.concatenate([snaps[0], order[None]], axis=0)
-    start_snaps = jnp.concatenate([snaps[1], start[None]], axis=0)
-    size_snaps = jnp.concatenate([snaps[2], size[None]], axis=0)
-    return order_snaps, start_snaps, size_snaps
-
-
-def _np_hash_mod(a, b, c, mod):
-    """numpy mirror of _hash_mod (for host-side tree flattening)."""
-    with np.errstate(over="ignore"):
-        h = (
-            np.uint32(a) * np.uint32(0x9E3779B9)
-            + np.uint32(b) * np.uint32(0x85EBCA6B)
-            + np.uint32(c).astype(np.uint32) * np.uint32(0xC2B2AE35)
+        order, start, size, sealed = carry
+        new, (a_pt, b_pt) = _split_level(
+            X, norms, order, start, size, level, seed, leaf_size, angular,
+            degrees=degrees, ell_nnz=ell_nnz, sealed=sealed,
         )
-        h = (h ^ (h >> np.uint32(16))) * np.uint32(0x7FEB352D)
-        h = (h ^ (h >> np.uint32(15))) * np.uint32(0x846CA68B)
-        h = h ^ (h >> np.uint32(16))
-    return (h % np.uint32(max(int(mod), 1))).astype(np.int64)
+        return new, compact(start, size, a_pt, b_pt)
 
-
-def _np_hub_anchor_offsets(order_level, s0, sz, level, seed, degrees):
-    """numpy mirror of _hub_anchor_offsets for one node (host flattening)."""
-    offs, degs = [], []
-    for smp in range(4):
-        o = int(_np_hash_mod(seed, level * 8 + smp + 1, s0, sz))
-        p = int(order_level[min(s0 + o, len(order_level) - 1)])
-        d = int(degrees[p])
-        for prev in offs:
-            if o == prev:
-                d = -1
-        offs.append(o)
-        degs.append(d)
-    a_sel = int(np.argmax(degs))
-    a_off = offs[a_sel]
-    degs[a_sel] = -2
-    b_off = offs[int(np.argmax(degs))]
-    if b_off == a_off:
-        b_off = (a_off + 1) % max(sz, 1)
-    return a_off, min(b_off, sz - 1)
+    (order, start, size, _), (hp, hsize, ha, hb, n_heads) = jax.lax.scan(
+        step, (order, start, size, sealed), jnp.arange(max_depth)
+    )
+    fhp, fhsize, _, _, fn_heads = compact(start, size, None, None)
+    return (
+        order,
+        jnp.concatenate([hp, fhp[None]], axis=0),
+        jnp.concatenate([hsize, fhsize[None]], axis=0),
+        ha,
+        hb,
+        jnp.concatenate([n_heads, fn_heads[None]], axis=0),
+    )
 
 
 def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
                         angular: bool = False, materialize: bool = False,
-                        degrees=None) -> FlatTree:
-    """Build one RP tree on device and flatten it to query-descent arrays.
+                        degrees=None, ell_nnz: int | None = None) -> FlatTree:
+    """Build one RP tree on device and flatten it to query-descent arrays
+    (the analog of convert_tree_format, reference rp_trees.py:3019; the
+    per-node anchors come straight from the device trace — the host never
+    re-derives the split choice).
 
     With ``materialize=True`` the per-node hyperplanes/offsets are stored
     explicitly so query descent does not need the float data (quantized
@@ -408,14 +528,28 @@ def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
     n = X.shape[0]
     if max_depth is None:
         max_depth = forest_depth(n, leaf_size)
+    if materialize and ell_nnz is not None:
+        raise ValueError("materialized hyperplanes are not available for ELL data")
     dg = None if degrees is None else jnp.asarray(degrees)
-    order_snaps, start_snaps, size_snaps = jax.device_get(
-        build_tree_trace(
-            jnp.asarray(X), jnp.uint32(seed), leaf_size, max_depth, angular, degrees=dg
+    head_cap = default_head_cap(n, leaf_size)
+    for attempt in range(2):
+        order, head_pos, head_size, head_a, head_b, n_heads = jax.device_get(
+            build_tree_trace(
+                jnp.asarray(X), jnp.uint32(seed), leaf_size, max_depth, angular,
+                degrees=dg, ell_nnz=ell_nnz, head_cap=head_cap,
+            )
         )
-    )
-    seed = int(seed)
-    degrees_np = None if degrees is None else np.asarray(degrees)
+        if int(n_heads.max()) <= head_cap:
+            break
+        # pathological node explosion (many tiny leaves): retry uncompacted
+        head_cap = n
+    hub = degrees is not None
+
+    def lookup(level, s):
+        """Compact-table index of the node starting at position s, or -1."""
+        hp = head_pos[level]
+        j = int(np.searchsorted(hp, s))
+        return j if j < len(hp) and hp[j] == s else -1
 
     a_pt, b_pt, child, leaf_lo, leaf_hi = [], [], [], [], []
     # BFS over (level, start, size) nodes
@@ -450,27 +584,26 @@ def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
             leaf_lo[i] = s
             leaf_hi[i] = s + sz
             continue
-        if degrees_np is not None:
-            a_off, b_off = _np_hub_anchor_offsets(
-                order_snaps[level], s, sz, level, seed, degrees_np
-            )
-        else:
-            a_off = _np_hash_mod(seed, 2 * level + 1, s, max(sz, 1))
-            b_off = _np_hash_mod(seed, 2 * level + 2, s, max(sz - 1, 1))
-            if b_off >= a_off:
-                b_off += 1
-            b_off = min(b_off, sz - 1)
-        a_pt[i] = int(order_snaps[level][s + a_off])
-        b_pt[i] = int(order_snaps[level][s + b_off])
-        n_left = int(size_snaps[level + 1][s]) if int(start_snaps[level + 1][s]) == s else 0
-        if n_left in (0, sz):  # passthrough (degenerate random kept node whole)
-            ci = node_id(level + 1, s, sz)
-            child[i] = [ci, ci]
-        else:
-            child[i] = [
-                node_id(level + 1, s, n_left),
-                node_id(level + 1, s + n_left, sz - n_left),
-            ]
+        j_next = lookup(level + 1, s)
+        n_left = int(head_size[level + 1][j_next]) if j_next >= 0 else 0
+        if n_left in (0, sz):
+            if hub:
+                # scored hub split bailed to leaf (balance < MIN_SPLIT_BALANCE)
+                child[i] = [i, i]
+                leaf_lo[i] = s
+                leaf_hi[i] = s + sz
+            else:
+                # passthrough (degenerate random kept the node whole)
+                ci = node_id(level + 1, s, sz)
+                child[i] = [ci, ci]
+            continue
+        j_here = lookup(level, s)
+        a_pt[i] = int(head_a[level][j_here])
+        b_pt[i] = int(head_b[level][j_here])
+        child[i] = [
+            node_id(level + 1, s, n_left),
+            node_id(level + 1, s + n_left, sz - n_left),
+        ]
     tree_leaf_size = leaf_size
     hyper = offset = None
     if materialize:
@@ -493,7 +626,7 @@ def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
         np.asarray(child, np.int32),
         np.asarray(leaf_lo, np.int32),
         np.asarray(leaf_hi, np.int32),
-        order_snaps[-1].astype(np.int32),
+        order.astype(np.int32),
         max_depth,
         angular,
         hyper=hyper,
@@ -503,10 +636,14 @@ def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
     return tree
 
 
-def descend_tree(tree_arrays, X, queries, coins, depth: int, angular: bool = False):
+def descend_tree(tree_arrays, X, queries, coins, depth: int, angular: bool = False,
+                 ell=None):
     """Vectorised query descent: queries [q, d], coins u32[q] tie-break bits.
     Returns (leaf_lo [q], leaf_hi [q]) slices into tree_order.
     (Replaces search_flat_tree / select_side, reference rp_trees.py:2644-2759.)
+
+    ``ell`` = (query nnz, data nnz) marks packed-ELL sparse operands; margins
+    then go through sparse_dot (reference search_sparse_flat_tree :2799).
     """
     a_pt = tree_arrays["a_pt"]
     b_pt = tree_arrays["b_pt"]
@@ -514,8 +651,9 @@ def descend_tree(tree_arrays, X, queries, coins, depth: int, angular: bool = Fal
     q = queries.shape[0]
     node = jnp.zeros(q, jnp.int32)
 
+    norms = None
     if angular and "hyper" not in tree_arrays and X.dtype != jnp.uint8:
-        norms = jnp.linalg.norm(X, axis=-1)
+        norms = _tree_norms(X, True, None if ell is None else ell[1])
 
     has_planes = "hyper" in tree_arrays
 
@@ -526,19 +664,11 @@ def descend_tree(tree_arrays, X, queries, coins, depth: int, angular: bool = Fal
         else:
             a = a_pt[node]
             b = b_pt[node]
-            xa = X[a]
-            xb = X[b]
-            if X.dtype == jnp.uint8:
-                margin = _bit_margin(queries, xa, xb)
-            elif angular:
-                na = jnp.maximum(norms[a], 1e-8)[:, None]
-                nb = jnp.maximum(norms[b], 1e-8)[:, None]
-                hyper = xa / na - xb / nb
-                margin = jnp.sum(queries * hyper, axis=-1)
-            else:
-                hyper = xa - xb
-                offset = jnp.sum(hyper * (xa + xb) * 0.5, axis=-1)
-                margin = jnp.sum(queries * hyper, axis=-1) - offset
+            # same anchor-score form as the build-side splits, so data points
+            # land in the leaves the build placed them in
+            margin = _anchor_scores(
+                X, norms, queries, a, angular, ell
+            ) - _anchor_scores(X, norms, queries, b, angular, ell)
         coin = ((coins >> jnp.uint32(level % 32)) & 1).astype(bool)
         side = jnp.where(margin > 0, True, jnp.where(margin < 0, False, coin))
         return child[node, side.astype(jnp.int32)]

@@ -18,8 +18,9 @@ TPU-native sparse strategy is therefore **block densification**:
   (``sparse_named_distances``, reference sparse.py:1053-1095, and
   ``sparse_fast_distance_alternatives``, :1114-1133).
 
-A padded-ELL kernel path for n_features beyond the densification threshold
-is the planned extension (tracked for a later milestone).
+For n_features beyond the densification threshold the true-sparse padded-ELL
+kernel path takes over (ops/sparse_ell.py): packed fixed-width rows, the full
+sparse metric registry, ELL tree splits, and append-only updates.
 """
 
 from __future__ import annotations
@@ -41,10 +42,10 @@ def densify(data, max_features: int = DENSIFY_MAX_FEATURES) -> np.ndarray:
     """Materialise CSR input for the dense TPU pipeline."""
     csr = data.tocsr()
     if csr.shape[1] > max_features:
-        raise NotImplementedError(
-            f"Sparse inputs with more than {max_features} features are not "
-            "supported yet (the padded-ELL sparse kernel path is planned); "
-            f"got {csr.shape[1]} features."
+        raise ValueError(
+            f"Refusing to densify sparse input with {csr.shape[1]} features "
+            f"(> {max_features}); use the padded-ELL path (the NNDescent "
+            "constructor selects it automatically for wide sparse input)."
         )
     return np.ascontiguousarray(csr.toarray().astype(np.float32))
 

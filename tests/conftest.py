@@ -28,6 +28,56 @@ from scipy import sparse
 
 SEED = 189212  # same fixed seed as the reference suite
 
+# ---------------------------------------------------------------------------
+# Tiering: the full suite takes >20 min on the 8-device CPU mesh (every jit
+# recompiles; the persistent cache is off for correctness, see note above).
+# Heavy tests are centrally marked `slow` here so the quick tier
+# (`pytest -m "not slow"`) stays under ~5 minutes while covering every
+# subsystem with at least one representative.
+# ---------------------------------------------------------------------------
+
+SLOW_TESTS = {
+    # m5 features — keep one quantized, one wide-ELL, minkowski in quick tier
+    "test_sparse_cosine_build_recall",
+    "test_sparse_build_recall",
+    "test_sparse_query",
+    "test_quantized_query[binary]",
+    "test_bit_jaccard_build_and_query",
+    "test_bit_hamming_build",
+    "test_proxy_metric_query",
+    "test_wide_sparse_ell_path",
+    # updates — keep update_only scenarios in quick tier
+    "test_repeated_updates_shrink_forest",
+    "test_update_scenarios[fresh_only-euclidean]",
+    "test_update_scenarios[fresh_only-cosine]",
+    "test_update_scenarios[fresh_and_update-euclidean]",
+    "test_update_scenarios[fresh_and_update-cosine]",
+    "test_update_scenarios[small_fresh-euclidean]",
+    "test_update_scenarios[small_fresh-cosine]",
+    # index — keep the euclidean variants in quick tier
+    "test_query_recall_angular",
+    "test_build_recall_cosine",
+    # hub trees — keep test_hub_tree_query_recall in quick tier
+    "test_hub_tree_self_query",
+    # api — keep transformer_sklearn_pipeline + quantized/compressed pickle
+    "test_update_with_fresh_data",
+    "test_update_with_changed_data",
+    "test_update_bit_metric_data",
+    "test_one_dimensional_data",
+    "test_pickle_roundtrip",
+    "test_transformer_transform_matches_query",
+    "test_transformer_fit_transform",
+    "test_transformer_fit_compresses_index",
+    # parallel — keep sharded_build_recall + both graft checks in quick tier
+    "test_sharded_build_shard_equivalence",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def seed():

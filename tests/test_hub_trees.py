@@ -44,6 +44,43 @@ def test_hub_tree_query_recall(nn_data):
     assert recall >= 0.90, f"hub-tree query recall {recall}"
 
 
+def test_scored_hub_splits_balance(nn_data):
+    """Scored hub splits keep the best-balanced of the 3 hub-pair hyperplanes
+    and bail to a leaf below MIN_SPLIT_BALANCE (reference rp_trees.py:798-933):
+    every *internal* node's children must both hold >= 10% of its members."""
+    degrees = np.random.RandomState(0).randint(1, 40, len(nn_data))
+    tree = flatten_search_tree(nn_data, seed=7, leaf_size=30, degrees=degrees)
+    a = tree.to_arrays()
+    child = a["child"]
+    # recover per-node sizes: leaves know theirs; internal = sum of children
+    n_nodes = len(child)
+    sizes = np.where(a["leaf_lo"] >= 0, a["leaf_hi"] - a["leaf_lo"], -1)
+    for _ in range(64):  # bottom-up fixpoint over the shallow tree
+        undone = sizes < 0
+        if not undone.any():
+            break
+        l, r = child[:, 0], child[:, 1]
+        ready = undone & (sizes[l] >= 0) & (sizes[r] >= 0)
+        sizes = np.where(ready, sizes[l] + sizes[r], sizes)
+    internal = a["leaf_lo"] < 0
+    l_sz = sizes[child[internal, 0]].astype(float)
+    r_sz = sizes[child[internal, 1]].astype(float)
+    balance = np.minimum(l_sz, r_sz) / (l_sz + r_sz)
+    assert balance.min() >= 0.1 - 1e-6, f"unbalanced internal node: {balance.min()}"
+
+
+def test_n_search_trees_selection(nn_data):
+    """n_search_trees candidate trees are scored and the best is kept
+    (reference pynndescent_.py:1353-1373); more candidates never hurt
+    tree quality by construction."""
+    from pynndescent_tpu.ops import rp_trees
+
+    index = NNDescent(nn_data, n_neighbors=10, random_state=42, n_search_trees=3)
+    index.prepare()
+    score3 = rp_trees.score_linked_tree(index._search_tree, index._neighbor_graph[0])
+    assert score3 > 0.1  # leaves actually capture neighbor structure
+
+
 def test_hub_tree_self_query(nn_data):
     """Self-queries must find the point itself (reference
     tests/test_hub_trees.py:327-388)."""

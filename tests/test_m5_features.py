@@ -176,7 +176,8 @@ def test_wide_sparse_ell_path():
     nn = NearestNeighbors(n_neighbors=8).fit(dense)
     true_idx = nn.kneighbors(dense, 8, return_distance=False)
     recall = _recall(idx, true_idx)
-    assert recall >= 0.8, f"ELL build recall {recall}"
+    # reference sparse build floor (tests/test_pynndescent_.py:105-107)
+    assert recall >= 0.85, f"ELL build recall {recall}"
     # distances are true euclidean
     i, j = 5, int(idx[5, 1])
     expected = np.linalg.norm(dense[i] - dense[j])
@@ -185,7 +186,8 @@ def test_wide_sparse_ell_path():
     qidx, _ = index.query(X[:40], k=5, epsilon=0.3)
     true_q = nn.kneighbors(dense[:40], 5, return_distance=False)
     qrecall = _recall(qidx, true_q)
-    assert qrecall >= 0.7, f"ELL query recall {qrecall}"
+    # reference sparse query floor (tests/test_pynndescent_.py:167-203)
+    assert qrecall >= 0.9, f"ELL query recall {qrecall}"
 
 
 def test_wide_sparse_ell_cosine():
@@ -208,4 +210,4 @@ def test_wide_sparse_ell_cosine():
     dense = X.toarray()
     nn = NearestNeighbors(n_neighbors=8, metric="cosine").fit(dense)
     true_idx = nn.kneighbors(dense, 8, return_distance=False)
-    assert _recall(idx, true_idx) >= 0.7
+    assert _recall(idx, true_idx) >= 0.85
