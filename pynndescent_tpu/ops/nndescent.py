@@ -326,7 +326,11 @@ def _join_block(
 
     pool = jnp.concatenate([hop_new, hop2_new, hop2_old], axis=-1)  # [b, P]
 
-    Q = X[row_ids]
+    # rows beyond the real point count (state padding for mesh divisibility)
+    # merge nothing and stay empty, so their ids never enter real rows
+    n_real = X.shape[0]
+    pool = jnp.where(row_ids[:, None] < n_real, pool, -1)
+    Q = X[jnp.minimum(row_ids, n_real - 1)]
     C = X[jnp.maximum(pool, 0)]
     d = dist_rowwise(Q, C)
     d = jnp.where(pool < 0, jnp.inf, d)
@@ -349,7 +353,7 @@ def _descent_iteration(
     hop2_new_samples: int,
     hop2_old_samples: int,
 ):
-    n = X.shape[0]
+    n = state.idx.shape[0]  # may exceed X rows (padding for mesh divisibility)
     k_cand, k_join = jax.random.split(key)
     sample = build_candidates(state, k_cand, max_candidates)
     state = state._replace(flag=sample.flag)

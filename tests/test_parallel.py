@@ -68,6 +68,89 @@ def test_sharded_build_recall(nn_data):
     assert recall >= 0.98, f"sharded build recall {recall}"
 
 
+def test_sharded_build_non_divisible_n(nn_data):
+    """n that does not divide the mesh is handled by padding the neighbor
+    state (never the data); pad rows must not leak into results."""
+    from sklearn.neighbors import NearestNeighbors
+
+    from pynndescent_tpu.parallel import make_mesh, sharded_nn_descent
+    from pynndescent_tpu.utils import rng
+
+    data = nn_data[:997]  # prime-ish: 997 % 8 != 0
+    k = 8
+    mesh = make_mesh(8)
+    idx, dist = sharded_nn_descent(
+        data, k, rng.state_from_seed(3), mesh, n_iters=6, block_rows=256
+    )
+    idx = np.asarray(idx)
+    assert idx.shape == (997, k)
+    assert idx.max() < 997  # no padding ids leaked
+    nn = NearestNeighbors(n_neighbors=k).fit(data)
+    true_idx = nn.kneighbors(data, k, return_distance=False)
+    recall = np.mean(
+        [len(np.intersect1d(idx[i], true_idx[i])) / k for i in range(997)]
+    )
+    assert recall >= 0.9, f"padded sharded build recall {recall}"
+
+
+@pytest.mark.slow
+def test_sharded_data_build(nn_data):
+    """X row-sharded over the mesh (the >per-device-HBM mode): candidate
+    rows ride the ICI ring; results match the exact oracle."""
+    from sklearn.neighbors import NearestNeighbors
+
+    from pynndescent_tpu.parallel import make_mesh, sharded_nn_descent
+    from pynndescent_tpu.utils import rng
+
+    data = nn_data[:600]
+    k = 8
+    mesh = make_mesh(8)
+    idx, dist = sharded_nn_descent(
+        data, k, rng.state_from_seed(4), mesh, n_iters=6, block_rows=64,
+        shard_data=True,
+    )
+    idx = np.asarray(idx)
+    assert idx.shape == (600, k)
+    nn = NearestNeighbors(n_neighbors=k).fit(data)
+    true_idx = nn.kneighbors(data, k, return_distance=False)
+    recall = np.mean(
+        [len(np.intersect1d(idx[i], true_idx[i])) / k for i in range(600)]
+    )
+    assert recall >= 0.9, f"sharded-X build recall {recall}"
+
+
+@pytest.mark.slow
+def test_2d_mesh_build_and_search(nn_data):
+    """2-D (DCN x ICI style) mesh: vertices shard over the inner axis,
+    queries over the outer axis."""
+    from sklearn.neighbors import NearestNeighbors
+
+    from pynndescent_tpu.ops import nndescent as nnd_ops
+    from pynndescent_tpu.parallel import make_mesh_2d, sharded_nn_descent, sharded_search
+    from pynndescent_tpu.utils import rng
+
+    data = nn_data[:800]
+    k = 8
+    mesh = make_mesh_2d((2, 4))
+    key = rng.state_from_seed(6)
+    idx, dist = sharded_nn_descent(data, k, key, mesh, n_iters=6, block_rows=200)
+    idx = np.asarray(idx)
+    assert idx.shape == (800, k)
+
+    adj = idx
+    qidx, qdist = sharded_search(
+        data[:64], data, adj, None, rng.derive(key, 9), mesh, k=k,
+        dist_rowwise=nnd_ops._resolve_rowwise_metric("sqeuclidean", None),
+    )
+    assert np.asarray(qidx).shape == (64, k)
+    nn = NearestNeighbors(n_neighbors=k).fit(data)
+    true_idx = nn.kneighbors(data, k, return_distance=False)
+    recall = np.mean(
+        [len(np.intersect1d(idx[i], true_idx[i])) / k for i in range(800)]
+    )
+    assert recall >= 0.9, f"2-D mesh build recall {recall}"
+
+
 def test_graft_entry_compiles():
     import sys
 
