@@ -221,7 +221,8 @@ class NNDescent:
         self._raw_data = data
         self._X = jnp.asarray(data)
 
-        self._key = rng.state_from_seed(random_state)
+        self._root_seed = rng.resolve_seed(random_state)
+        self._key = rng.state_from_seed(self._root_seed)
 
         if init_graph is not None and tree_init:
             tree_init = False
@@ -284,14 +285,12 @@ class NNDescent:
             compute_dtype=jnp.bfloat16 if build_dtype == "bfloat16" else None,
             verbose=verbose,
         )
-        self._neighbor_graph = (np.asarray(idx), np.asarray(dist_internal))
-
-        if np.any(self._neighbor_graph[0] < 0):
-            warnings.warn(
-                "Failed to correctly find n_neighbors for some samples. "
-                "Results may be less than ideal. Try re-running with "
-                "different parameters."
-            )
+        # keep the graph on device; host copies are materialized lazily on
+        # first numpy access (neighbor_graph / update / pickle) — the eager
+        # transfer was a multi-MB host pull on the build critical path
+        self._neighbor_graph = (idx, dist_internal)
+        self._incomplete_dev = jnp.any(jnp.asarray(idx) < 0)
+        self._warned_incomplete = False
 
         self._search_graph = None
         self._search_tree = None
@@ -369,6 +368,31 @@ class NNDescent:
         else:
             raise ValueError(f"Metric '{metric}' not recognized")
 
+    def _maybe_warn_incomplete(self, flag=None):
+        """Emit the incomplete-rows warning once; ``flag`` lets callers pass
+        an already-pulled host bool so no extra round trip is paid."""
+        if getattr(self, "_warned_incomplete", True):
+            return
+        if flag is None:
+            flag = bool(np.asarray(self._incomplete_dev))
+        self._warned_incomplete = True
+        if flag:
+            warnings.warn(
+                "Failed to correctly find n_neighbors for some samples. "
+                "Results may be less than ideal. Try re-running with "
+                "different parameters."
+            )
+
+    def _graph_host(self):
+        """Numpy view of the neighbor graph; transfers from device once and
+        caches (the tuple is replaced in place by its host copy)."""
+        if self._neighbor_graph is None:
+            return None
+        idx, d = self._neighbor_graph
+        if not isinstance(idx, np.ndarray):
+            self._neighbor_graph = (np.asarray(idx), np.asarray(d))
+        return self._neighbor_graph
+
     @property
     def neighbor_graph(self):
         """(indices, distances) with corrected (true-metric) distances
@@ -376,7 +400,8 @@ class NNDescent:
         if self._neighbor_graph is None:
             warnings.warn("The index is compressed; neighbor graph is not available.")
             return None
-        idx, d = self._neighbor_graph
+        self._maybe_warn_incomplete()
+        idx, d = self._graph_host()
         if self._distance_correction is not None:
             d = self._distance_correction(d)
         return idx, np.asarray(d)
@@ -432,11 +457,17 @@ class NNDescent:
             state, _ = merge_candidates(state, fwd_idx, fwd_dist)
             state, _ = merge_candidates(state, rev_idx, rev_dist)
             min_dist = jnp.min(jnp.where(jnp.isfinite(state.dist), state.dist, jnp.inf))
-            return state.idx, jnp.where(jnp.isfinite(min_dist), min_dist, 0.0)
+            # bundle every host-bound scalar into one array: the tunnel pays
+            # a full round trip per transfer, not per byte
+            scalars = jnp.stack([
+                jnp.where(jnp.isfinite(min_dist), min_dist, 0.0),
+                jnp.any(idx < 0).astype(jnp.float32),
+            ])
+            return state.idx, scalars
 
         if self.verbose:
             print(_ts(), "Building and diversifying the search graph")
-        adj, min_dist = _assemble(
+        adj, scalars = _assemble(
             jnp.asarray(idx), jnp.asarray(dist), self._X, div_key
         )
         if self.verbose:
@@ -445,7 +476,9 @@ class NNDescent:
                 _ts(),
                 f"Search graph: mean degree {deg.mean():.1f}, max {deg.max()}",
             )
-        self._min_distance = float(min_dist)
+        scalars = np.asarray(scalars)
+        self._min_distance = float(scalars[0])
+        self._maybe_warn_incomplete(bool(scalars[1]))
         self._search_graph = adj
         self._init_quantization()
         # bfloat16 copy for search gathers (halved HBM traffic); results are
@@ -468,7 +501,6 @@ class NNDescent:
         # pynndescent_.py:1353-1373 + score_linked_tree).
         idx0, _ = self._neighbor_graph
         degrees_dev = prune_ops.compute_degrees(jnp.asarray(idx0))
-        degrees = np.asarray(degrees_dev)
         st_leaf_size = self.search_tree_leaf_size or max(
             self.leaf_size, self.n_neighbors
         )
@@ -477,15 +509,9 @@ class NNDescent:
         )
         ell_nnz = self._ell["nnz"] if self._ell is not None else None
         n_cand = max(1, int(self.n_search_trees))
-        seed_key = rng.derive(self._key, rng.ROLE_SEARCH, 1)
-        cand_seeds = [
-            int(s)
-            for s in np.asarray(
-                jax.random.randint(
-                    seed_key, (n_cand,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
-                )
-            )
-        ]
+        # host-side seed derivation: a device randint would cost a round trip
+        # just to read the ints back
+        cand_seeds = rng.host_ints(self._root_seed, rng.ROLE_SEARCH, n_cand)
         seed = cand_seeds[0]
         if n_cand > 1:
             best_score = -1.0
@@ -507,7 +533,7 @@ class NNDescent:
             max_depth=st_depth,
             angular=self._angular_trees,
             materialize=self.quantization is not None,
-            degrees=degrees,
+            degrees=degrees_dev,
             ell_nnz=ell_nnz,
         )
         self._search_tree = tree.to_arrays()
@@ -520,20 +546,11 @@ class NNDescent:
             return
         from pynndescent_tpu.ops import quantization as qz
 
-        # Derive the codebook seed from the index key: deterministic for int
-        # seeds AND RandomState instances (the key captured the instance's
+        # Derive the codebook seed from the root seed: deterministic for int
+        # seeds AND RandomState instances (the root captured the instance's
         # draw once at __init__; passing the instance through here would make
         # codebooks depend on how much of the generator was consumed since).
-        seed = int(
-            np.asarray(
-                jax.random.randint(
-                    rng.derive(self._key, rng.ROLE_QUANTIZE),
-                    (),
-                    0,
-                    np.iinfo(np.int32).max,
-                )
-            )
-        )
+        seed = rng.host_ints(self._root_seed, rng.ROLE_QUANTIZE, 1)[0]
         rs = np.random.RandomState(seed)
         if self.quantization == "binary":
             codes = qz.binary_codes(self._raw_data)
@@ -802,7 +819,7 @@ class NNDescent:
                     self._set_ell_metric()
                 xs_fresh = sparse_ell.csr_to_ell_packed(fcsr, new_nnz)
         data = self._raw_data
-        idx, dist = self._neighbor_graph
+        idx, dist = self._graph_host()
         n_old, k = idx.shape
 
         if xs_updated is not None:
@@ -883,7 +900,9 @@ class NNDescent:
             ),
             verbose=self.verbose,
         )
-        self._neighbor_graph = (np.asarray(new_idx), np.asarray(new_dist))
+        self._neighbor_graph = (new_idx, new_dist)
+        self._incomplete_dev = jnp.any(jnp.asarray(new_idx) < 0)
+        self._warned_incomplete = False
 
         # rebuild the search structures lazily (reference :2537-2553)
         self._search_graph = None
@@ -895,7 +914,9 @@ class NNDescent:
 
     def __getstate__(self):
         self.prepare()  # search structures must exist (reference :1307)
+        self._graph_host()  # materialize the numpy graph before serializing
         state = self.__dict__.copy()
+        state["_incomplete_dev"] = None  # device scalar; warning state kept
         state["_X"] = None  # rebuilt from _raw_data
         state["_X_search"] = None
         state["_quantized_codes_dev"] = None

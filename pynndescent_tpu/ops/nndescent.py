@@ -273,32 +273,27 @@ def build_candidates(state: NeighborState, key, max_candidates: int) -> Candidat
 # ---------------------------------------------------------------------------
 
 
-def _subsample_hop2(table_rows, counts, hop_valid, key, t):
-    """table_rows [b, h, w]: compacted candidate-table rows of each hop;
-    counts [b, h]: number of valid leading entries per row. Pick t random
-    entries per hop from within the valid prefix. Returns [b, h*t] ids."""
-    b, h, w = table_rows.shape
-    t = min(t, w)
-    raw = jax.random.randint(key, (b, h, t), 0, 1 << 30, dtype=jnp.int32)
-    pos = raw % jnp.maximum(counts, 1)[:, :, None]
-    picked = jnp.take_along_axis(table_rows, pos, axis=-1)
-    ok = (counts > 0)[:, :, None] & hop_valid[:, :, None]
-    return jnp.where(ok, picked, -1).reshape(b, h * t)
+def _slice_hop2(table, hops):
+    """2-hop expansion by leading slice: for each hop h (>= 0) take
+    ``table[h]`` wholesale. The tables arrive pre-sliced to the sample
+    budget and compacted in per-iteration random order (_compact_rows), so
+    the leading slice IS a uniform without-replacement sample — no per-
+    element randint/take_along_axis gathers, just one row gather. -1
+    padding in short rows masks itself."""
+    picked = table[jnp.maximum(hops, 0)]
+    b, h, t = picked.shape
+    return jnp.where((hops >= 0)[:, :, None], picked, -1).reshape(b, h * t)
 
 
 def _join_block(
     row_ids,  # [b]
     hop_new,  # [b, 2c]
     hop_old,  # [b, 2c]
-    cand_new,  # [n, 2c] compacted new candidate table (for 2-hop gathers)
-    cnt_new,  # [n]
-    cand_all,  # [n, 4c] compacted new+old candidate table
-    cnt_all,  # [n]
+    tbl_nn,  # [n, t_nn] leading slice of the new table (new-hop x new)
+    tbl_no,  # [n, t_no] leading slice of the old table (new-hop x old)
+    tbl_on,  # [n, t_on] leading slice of the new table (old-hop x new)
     X,  # [n, d]
-    key,
     dist_rowwise,
-    hop2_new_samples: int,
-    hop2_old_samples: int,
 ):
     """Build the candidate pool for a block of rows and compute distances.
 
@@ -308,21 +303,14 @@ def _join_block(
     of the reference's local join (pynndescent_.py:217, utils.py:536-733):
     for any common vertex i with p, q in cand(i), p finds q by expanding
     cand(i) through its own hop h = i — including rev x rev co-parent pairs.
-    Pairs must involve at least one new edge, so new hops expand the full
-    table while old hops expand only the new half.
+    Pairs must involve at least one new edge: new hops expand both the new
+    and old tables, old hops expand only the new table.
 
     Returns (pool ids [b, P], pool distances [b, P])."""
-    k1, k2 = jax.random.split(key)
-
-    hn = jnp.maximum(hop_new, 0)
-    hop2_new = _subsample_hop2(
-        cand_all[hn], cnt_all[hn], hop_new >= 0, k1, hop2_new_samples
+    hop2_new = jnp.concatenate(
+        [_slice_hop2(tbl_nn, hop_new), _slice_hop2(tbl_no, hop_new)], axis=-1
     )
-
-    ho = jnp.maximum(hop_old, 0)
-    hop2_old = _subsample_hop2(
-        cand_new[ho], cnt_new[ho], hop_old >= 0, k2, hop2_old_samples
-    )
+    hop2_old = _slice_hop2(tbl_on, hop_old)
 
     pool = jnp.concatenate([hop_new, hop2_new, hop2_old], axis=-1)  # [b, P]
 
@@ -358,27 +346,15 @@ def _descent_iteration(
     sample = build_candidates(state, k_cand, max_candidates)
     state = state._replace(flag=sample.flag)
 
-    cand_new = sample.hop_new
-    cnt_new = sample.cnt_new
-    # concatenating two compacted tables: valid prefix of the combined row is
-    # NOT contiguous, so re-compact cheaply by noting hop_new's valid prefix
-    # feeds the front and hop_old's is offset — instead keep them separate
-    # and sample the union through a single width-2c*2 table built by
-    # prefix-stitching: place old entries right after the new prefix.
-    w = sample.hop_new.shape[1]
-    offs = jnp.arange(2 * w, dtype=jnp.int32)[None, :]
-    from_new = offs < cnt_new[:, None]
-    old_pos = jnp.clip(offs - cnt_new[:, None], 0, w - 1)
-    new_pos = jnp.minimum(offs, w - 1)
-    cand_all = jnp.where(
-        from_new,
-        jnp.take_along_axis(sample.hop_new, new_pos, axis=1),
-        jnp.take_along_axis(sample.hop_old, old_pos, axis=1),
-    )
-    cand_all = jnp.where(
-        offs < (cnt_new + sample.cnt_old)[:, None], cand_all, -1
-    )
-    cnt_all = cnt_new + sample.cnt_old
+    # pre-slice the tables to the 2-hop budgets once (the compacted rows are
+    # in per-iteration random order, so leading slices are uniform samples);
+    # the new-hop budget is split between the new and old tables so the
+    # pair family still covers new x new and new x old
+    t_nn = max(1, (hop2_new_samples + 1) // 2)
+    t_no = max(1, hop2_new_samples - t_nn)
+    tbl_nn = sample.hop_new[:, :t_nn]
+    tbl_no = sample.hop_old[:, :t_no]
+    tbl_on = sample.hop_new[:, :hop2_old_samples]
 
     b = min(block_rows, n)
     n_blocks = -(-n // b)
@@ -391,15 +367,11 @@ def _descent_iteration(
             rows,
             jax.lax.dynamic_slice_in_dim(sample.hop_new, start, b),
             jax.lax.dynamic_slice_in_dim(sample.hop_old, start, b),
-            cand_new,
-            cnt_new,
-            cand_all,
-            cnt_all,
+            tbl_nn,
+            tbl_no,
+            tbl_on,
             X,
-            jax.random.fold_in(k_join, blk),
             dist_rowwise,
-            hop2_new_samples,
-            hop2_old_samples,
         )
         blk_state = NeighborState(
             jax.lax.dynamic_slice_in_dim(st.idx, start, b),
@@ -445,6 +417,67 @@ def init_random(state: NeighborState, X, key, n_extra: int, dist_rowwise,
             st.idx.at[rows].set(merged.idx, unique_indices=True),
             st.dist.at[rows].set(merged.dist, unique_indices=True),
             st.flag.at[rows].set(merged.flag, unique_indices=True),
+        )
+
+    return jax.lax.fori_loop(0, n_blocks, body, state)
+
+
+def init_from_forest(
+    state: NeighborState, X, orders, starts, sizes, dist_rowwise,
+    leaf_cap: int, block_rows: int = 4096,
+):
+    """Seed the graph from ALL forest trees with one merge per row block.
+
+    Per block of point ids, every tree's leaf window is gathered side by
+    side into one [b, T*leaf_cap] candidate tile, distances are computed as
+    one batched tile, and a single sort-merge folds them into the rows —
+    ~T fewer sorts and dispatches than looping init_from_tree_order per
+    tree (the per-op fixed costs dominate at this width on TPU).
+    Replaces the reference's per-tree leaf all-pairs scatters
+    (init_rp_tree / generate_leaf_updates, pynndescent_.py:73-185).
+    """
+    n = X.shape[0]
+    T = orders.shape[0]
+    b = min(block_rows, n)
+    n_blocks = -(-n // b)
+    offsets = jnp.arange(leaf_cap, dtype=jnp.int32)
+    trow = jnp.arange(T, dtype=jnp.int32)[:, None]
+    # positions of each point id in each tree (inverse permutations)
+    inv = (
+        jnp.zeros((T, n), jnp.int32)
+        .at[trow, orders]
+        .set(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (T, n)),
+             unique_indices=True)
+    )
+
+    def body(blk, st):
+        s0 = jnp.minimum(blk * b, n - b)
+        pts = s0 + jnp.arange(b, dtype=jnp.int32)
+        # [T, b] tree positions of this block's points (contiguous slice)
+        pos = jax.lax.dynamic_slice_in_dim(inv, s0, b, axis=1)
+        lstart = starts[trow, pos]  # [T, b]
+        lsize = sizes[trow, pos]
+        win = lstart[:, :, None] + offsets[None, None, :]  # [T, b, cap]
+        cand = orders[trow[:, :, None], jnp.minimum(win, n - 1)]
+        cand = jnp.where(
+            offsets[None, None, :] < jnp.minimum(lsize, leaf_cap)[:, :, None],
+            cand, -1,
+        )
+        cand = jnp.moveaxis(cand, 0, 1).reshape(b, T * leaf_cap)
+        Q = X[pts]
+        C = X[jnp.maximum(cand, 0)]
+        d = dist_rowwise(Q, C)
+        d = jnp.where(cand < 0, jnp.inf, d)
+        blk_state = NeighborState(
+            jax.lax.dynamic_slice_in_dim(st.idx, s0, b),
+            jax.lax.dynamic_slice_in_dim(st.dist, s0, b),
+            jax.lax.dynamic_slice_in_dim(st.flag, s0, b),
+        )
+        merged, _ = merge_candidates(blk_state, cand, d)
+        return NeighborState(
+            jax.lax.dynamic_update_slice_in_dim(st.idx, merged.idx, s0, 0),
+            jax.lax.dynamic_update_slice_in_dim(st.dist, merged.dist, s0, 0),
+            jax.lax.dynamic_update_slice_in_dim(st.flag, merged.flag, s0, 0),
         )
 
     return jax.lax.fori_loop(0, n_blocks, body, state)
@@ -564,37 +597,89 @@ def nn_descent(
     # cheaper for identical device time, since runtime is dispatch-light.)
     if forest is not None and rp_tree_init:
         orders, starts, sizes = forest
-        for t in range(int(orders.shape[0])):
-            state = _jit_tree_init(
-                state, X_join, orders[t], starts[t], sizes[t],
-                dist_rowwise=dist_rowwise, leaf_cap=leaf_cap,
-            )
+        T = int(orders.shape[0])
+        d_bytes = int(np.prod(X.shape[1:])) * X.dtype.itemsize
+        # bound the gathered [b, T*cap, d] candidate tile to ~4 GB; row
+        # gathers run several times faster at wide blocks, so prefer the
+        # widest block the budget allows
+        init_block = int(max(256, min(8192, (1 << 32) // max(T * leaf_cap * d_bytes, 1))))
+        state = _jit_forest_init(
+            state, X_join, orders, starts, sizes,
+            dist_rowwise=dist_rowwise, leaf_cap=leaf_cap,
+            block_rows=init_block,
+        )
     state = _jit_init_random(
         state, X_join, rng.derive(key, rng.ROLE_DESCENT_INIT),
         n_extra=k, dist_rowwise=dist_rowwise,
     )
 
     stop_count = delta * k * n
-    for it in range(n_iters):
-        state, changes = _jit_iteration(
-            state, X_join, rng.derive(key, rng.ROLE_DESCENT_ITER, it),
+    if verbose:
+        # per-iteration prints need a host sync each round (one tunnel
+        # round-trip per iteration) — only pay that when asked to narrate
+        for it in range(n_iters):
+            state, changes = _jit_iteration(
+                state, X_join, rng.derive(key, rng.ROLE_DESCENT_ITER, it),
+                max_candidates=max_candidates,
+                dist_rowwise=dist_rowwise,
+                block_rows=min(block_rows, n),
+                hop2_new_samples=hop2_new_samples,
+                hop2_old_samples=hop2_old_samples,
+            )
+            print(f"\t{it + 1}  /  {n_iters}  (changes: {int(changes)})")
+            if int(changes) <= stop_count:
+                print(f"\tStopping threshold met -- exiting after {it + 1} iterations")
+                break
+    else:
+        # fused driver: the delta early-exit runs on device, so the whole
+        # descent is one dispatch with zero per-iteration host syncs
+        state = _jit_descent_loop(
+            state, X_join, key, jnp.float32(stop_count),
+            n_iters=n_iters,
             max_candidates=max_candidates,
             dist_rowwise=dist_rowwise,
             block_rows=min(block_rows, n),
             hop2_new_samples=hop2_new_samples,
             hop2_old_samples=hop2_old_samples,
         )
-        if verbose:
-            print(f"\t{it + 1}  /  {n_iters}  (changes: {int(changes)})")
-        if int(changes) <= stop_count:
-            if verbose:
-                print(f"\tStopping threshold met -- exiting after {it + 1} iterations")
-            break
 
     idx, dist = _jit_sort(state.idx, state.dist)
     if compute_dtype is not None:
         idx, dist = exact_rerank_graph(X, idx, dist_rowwise=dist_rowwise)
     return idx, dist
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_iters", "max_candidates", "dist_rowwise", "block_rows",
+        "hop2_new_samples", "hop2_old_samples",
+    ),
+)
+def _jit_descent_loop(
+    state, X, key, stop_count, *, n_iters, max_candidates, dist_rowwise,
+    block_rows, hop2_new_samples, hop2_old_samples,
+):
+    def cond(carry):
+        _, it, changes = carry
+        return (it < n_iters) & (changes > stop_count)
+
+    def body(carry):
+        st, it, _ = carry
+        st, ch = _descent_iteration(
+            st, X, rng.derive(key, rng.ROLE_DESCENT_ITER, it),
+            max_candidates=max_candidates,
+            dist_rowwise=dist_rowwise,
+            block_rows=block_rows,
+            hop2_new_samples=hop2_new_samples,
+            hop2_old_samples=hop2_old_samples,
+        )
+        return st, it + 1, ch.astype(jnp.float32)
+
+    state, _, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), jnp.float32(np.inf))
+    )
+    return state
 
 
 @functools.partial(jax.jit, static_argnames=("dist_rowwise", "block_rows"))
@@ -627,6 +712,9 @@ def exact_rerank_graph(X, idx, *, dist_rowwise, block_rows: int = 65536):
 
 _jit_tree_init = jax.jit(
     init_from_tree_order, static_argnames=("dist_rowwise", "leaf_cap", "block_rows")
+)
+_jit_forest_init = jax.jit(
+    init_from_forest, static_argnames=("dist_rowwise", "leaf_cap", "block_rows")
 )
 _jit_init_random = jax.jit(init_random, static_argnames=("n_extra", "dist_rowwise"))
 _jit_iteration = jax.jit(

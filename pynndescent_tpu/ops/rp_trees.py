@@ -78,6 +78,22 @@ def _hash_mod(a, b, c, mod):
     return (_hash3(a, b, c) % jnp.uint32(jnp.maximum(mod, 1))).astype(jnp.int32)
 
 
+def _level_directions(seed, max_depth, d):
+    """Deterministic gaussian direction per tree level (Box-Muller over
+    counter hashes). Level-shared directions let the init-forest builder
+    compute every split margin from ONE ``X @ R`` matmul in point-id space
+    (a sequential HBM read on the MXU) instead of gathering three full
+    ``[n, d]`` row sets per level per tree — the TPU-native reshaping of the
+    reference's per-node random-pair hyperplanes (rp_trees.py:323-430)."""
+    lev = jnp.arange(max_depth, dtype=jnp.uint32)[:, None]
+    dim = jnp.arange(d, dtype=jnp.uint32)[None, :]
+    h1 = _hash3(seed, lev * 2 + jnp.uint32(101), dim)
+    h2 = _hash3(seed, lev * 2 + jnp.uint32(102), dim)
+    u1 = (h1.astype(jnp.float32) + 1.0) * jnp.float32(1.0 / 4294967296.0)
+    u2 = h2.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)  # [L, d]
+
+
 # ---------------------------------------------------------------------------
 # One level of splits, all nodes at once
 # ---------------------------------------------------------------------------
@@ -333,18 +349,105 @@ def build_tree_order(X, seed, leaf_size: int, max_depth: int, angular: bool = Fa
     return order, start, size
 
 
+@functools.partial(jax.jit, static_argnames=("leaf_size", "max_depth", "angular"))
+def _fast_forest_orders(X, seeds, leaf_size: int, max_depth: int, angular: bool):
+    """Init-forest builder reshaped for the TPU's cost model: every
+    gather/scatter over [n_trees, n] costs ~the same regardless of row
+    width (issue-rate bound), so the per-level work is reduced to exactly
+    one scatter-add and one table gather.
+
+    Design (replaces the reference's recursive random-pair splits,
+    rp_trees.py:323-430, for the init forest only — these trees are
+    consumed as leaf arrays and never descended at query time):
+
+    * per tree, one level-shared random direction per level
+      (_level_directions); all projections = one ``X @ R`` MXU matmul in
+      point-id space (sequential HBM read, no gathers);
+    * each point carries a node id (path bits); a level splits every node
+      at its segment-mean projection: scatter-add of (proj, 1) into a
+      [n_trees, 2^level, 2] table, gather of the per-node threshold back;
+    * nodes at or below ``leaf_size`` freeze by setting their threshold to
+      +inf: all members keep taking the left branch together, so the leaf
+      survives to the final level with a unique id and no mask is needed;
+    * all-equal projections (duplicate blobs) tie on the threshold and
+      split by a hash coin, mirroring the reference's degenerate-split
+      random fallback (rp_trees.py:144-155);
+    * one final sort by node id recovers the ``(order, start, size)``
+      node-location encoding.
+    """
+    n, d = X.shape
+    T = seeds.shape[0]
+    norms = _tree_norms(X, angular)
+    point_ids = jnp.arange(n, dtype=jnp.int32)
+
+    def proj_one(seed):
+        R = _level_directions(seed, max_depth, d)  # [L, d]
+        P = jax.lax.dot_general(
+            X, R, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [n, L]
+        if angular:
+            P = P / jnp.maximum(norms, 1e-8)[:, None]
+        return P
+
+    P = jax.vmap(proj_one)(seeds)  # [T, n, L]
+    trow = jnp.arange(T)[:, None]
+    node = jnp.zeros((T, n), jnp.int32)
+    fleaf = jnp.float32(leaf_size)
+
+    for level in range(max_depth):
+        M = 1 << level
+        pl = P[:, :, level]  # [T, n]
+        vals = jnp.stack([pl, jnp.ones_like(pl)], axis=-1)
+        table = jnp.zeros((T, M, 2), jnp.float32).at[trow, node].add(vals)
+        s, c = table[..., 0], table[..., 1]
+        thr = jnp.where(c <= fleaf, jnp.inf, s / jnp.maximum(c, 1.0))
+        thr_p = jnp.take_along_axis(thr, node, axis=1)  # [T, n]
+        coin = (_hash3(seeds[:, None], jnp.uint32(level * 2 + 7), point_ids[None]) & 1).astype(bool)
+        side = jnp.where(pl == thr_p, coin, pl > thr_p)
+        node = node * 2 + side.astype(jnp.int32)
+
+    M = 1 << max_depth
+    cnt = jnp.zeros((T, M), jnp.float32).at[trow, node].add(1.0)
+    prefix = jnp.cumsum(cnt, axis=1) - cnt
+    pair = jnp.stack([prefix, cnt], axis=-1).astype(jnp.int32)  # [T, M, 2]
+    ids = jnp.broadcast_to(point_ids[None], (T, n))
+    node_s, order = jax.lax.sort((node, ids), dimension=1, num_keys=1, is_stable=True)
+    se = pair[trow, node_s]  # [T, n, 2]
+    return order, se[..., 0], se[..., 1]
+
+
 def build_forest_orders(X, seeds, leaf_size: int, max_depth: int, angular: bool = False,
-                        ell_nnz: int | None = None):
+                        ell_nnz: int | None = None, fast: bool = True):
     """Tree construction over per-tree seeds -> [n_trees, n] encodings
     (replaces joblib-thread forest orchestration, rp_trees.py:2815-2880).
 
+    Dense float data defaults to the fast level-shared-projection splits
+    (see build_tree_order) — init-forest trees are consumed only as leaf
+    arrays, so the split rule never has to be replayed at query time.
+
     Trees are vmapped when the per-level gather working set (3 point-row
-    gathers per tree) fits comfortably in HBM; otherwise they build
-    sequentially through one compiled program."""
+    gathers per tree on the exact path) fits comfortably in HBM; otherwise
+    they build sequentially through one compiled program."""
     X = jnp.asarray(X)
     seeds = jnp.asarray(seeds, jnp.uint32)
     n, d = X.shape
     n_trees = int(seeds.shape[0])
+    fast = fast and ell_nnz is None and X.dtype != jnp.uint8
+    if fast:
+        # mean splits are near-balanced: small slack over the ideal depth
+        # (vs +8 for random-pair splits) — every level is ~2 issue-bound ops
+        depth = min(
+            max_depth,
+            int(np.ceil(np.log2(max(n / max(leaf_size, 1), 1.0)))) + 4,
+        )
+        workset = n_trees * n * max(depth, 1) * 4  # the projection table
+        if workset <= 4 << 30:
+            return _fast_forest_orders(X, seeds, leaf_size, depth, angular)
+        outs = [
+            _fast_forest_orders(X, seeds[t : t + 1], leaf_size, depth, angular)
+            for t in range(n_trees)
+        ]
+        return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
     workset = 3 * n_trees * n * d * 4  # bytes of gathered rows per level
     fn = functools.partial(
         build_tree_order, X, leaf_size=leaf_size, max_depth=max_depth, angular=angular,

@@ -339,20 +339,13 @@ def _sharded_data_nn_descent(
         sample = nnd_ops.build_candidates(state, k_cand, max_candidates)
         state = state._replace(flag=sample.flag)
 
-        cand_new = sample.hop_new
-        cnt_new = sample.cnt_new
-        w = sample.hop_new.shape[1]
-        offs = jnp.arange(2 * w, dtype=jnp.int32)[None, :]
-        from_new = offs < cnt_new[:, None]
-        old_pos = jnp.clip(offs - cnt_new[:, None], 0, w - 1)
-        new_pos = jnp.minimum(offs, w - 1)
-        cand_all = jnp.where(
-            from_new,
-            jnp.take_along_axis(sample.hop_new, new_pos, axis=1),
-            jnp.take_along_axis(sample.hop_old, old_pos, axis=1),
-        )
-        cand_all = jnp.where(offs < (cnt_new + sample.cnt_old)[:, None], cand_all, -1)
-        cnt_all = cnt_new + sample.cnt_old
+        # leading-slice 2-hop tables (see ops.nndescent._descent_iteration)
+        h2n = max_candidates
+        t_nn = max(1, (h2n + 1) // 2)
+        t_no = max(1, h2n - t_nn)
+        tbl_nn = sample.hop_new[:, :t_nn]
+        tbl_no = sample.hop_old[:, :t_no]
+        tbl_on = sample.hop_new[:, : max(1, max_candidates // 2)]
 
         n_blocks = -(-shard_size // b)
 
@@ -360,18 +353,16 @@ def _sharded_data_nn_descent(
             st, changes = carry
             start_row = me * shard_size + jnp.minimum(blk * b, shard_size - b)
             rows = start_row + jnp.arange(b, dtype=jnp.int32)
-            k1, k2 = jax.random.split(jax.random.fold_in(k_join, blk))
             hop_new = jax.lax.dynamic_slice_in_dim(sample.hop_new, start_row, b)
             hop_old = jax.lax.dynamic_slice_in_dim(sample.hop_old, start_row, b)
-            hn = jnp.maximum(hop_new, 0)
-            hop2_new = nnd_ops._subsample_hop2(
-                cand_all[hn], cnt_all[hn], hop_new >= 0, k1, max_candidates
+            hop2_new = jnp.concatenate(
+                [
+                    nnd_ops._slice_hop2(tbl_nn, hop_new),
+                    nnd_ops._slice_hop2(tbl_no, hop_new),
+                ],
+                axis=-1,
             )
-            ho = jnp.maximum(hop_old, 0)
-            hop2_old = nnd_ops._subsample_hop2(
-                cand_new[ho], cnt_new[ho], hop_old >= 0, k2,
-                max(1, max_candidates // 2),
-            )
+            hop2_old = nnd_ops._slice_hop2(tbl_on, hop_old)
             pool = jnp.concatenate([hop_new, hop2_new, hop2_old], axis=-1)
             pool = mask_pool(pool)
             pool = jnp.where(rows[:, None] < n_real, pool, -1)

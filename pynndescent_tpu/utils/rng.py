@@ -24,14 +24,39 @@ ROLE_UPDATE = 5
 ROLE_QUANTIZE = 6
 
 
-def state_from_seed(seed) -> jax.Array:
-    """Build a root key from an int seed or numpy RandomState (matching the
-    reference's check_random_state-based seeding, pynndescent_.py:1105)."""
+def resolve_seed(seed) -> int:
+    """Collapse an int seed / RandomState / None into one root int
+    (matching the reference's check_random_state-based seeding,
+    pynndescent_.py:1105)."""
     if isinstance(seed, np.random.RandomState):
-        seed = int(seed.randint(0, np.iinfo(np.int32).max))
-    elif seed is None:
-        seed = int(np.random.randint(0, np.iinfo(np.int32).max))
-    return jax.random.PRNGKey(int(seed))
+        return int(seed.randint(0, np.iinfo(np.int32).max))
+    if seed is None:
+        return int(np.random.randint(0, np.iinfo(np.int32).max))
+    return int(seed)
+
+
+def state_from_seed(seed) -> jax.Array:
+    """Build a root key from an int seed or numpy RandomState."""
+    return jax.random.PRNGKey(resolve_seed(seed))
+
+
+def host_ints(root_seed: int, role: int, count: int) -> list[int]:
+    """Deterministic positive int31 draws derived on the HOST (splitmix64).
+    Used wherever the index needs plain Python ints (tree seeds for host
+    orchestration, codebook seeds): a device-side draw would cost a full
+    host<->device round trip just to read the scalar back."""
+    out = []
+    with np.errstate(over="ignore"):
+        x = (np.uint64(root_seed) * np.uint64(0x9E3779B97F4A7C15)
+             + np.uint64(role) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        for _ in range(count):
+            x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            z = x
+            z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            z = z ^ (z >> np.uint64(31))
+            out.append(int(z & np.uint64(0x7FFFFFFF)))
+    return out
 
 
 def derive(key: jax.Array, *tags: int) -> jax.Array:
