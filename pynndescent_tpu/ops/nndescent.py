@@ -483,6 +483,106 @@ def init_from_forest(
     return jax.lax.fori_loop(0, n_blocks, body, state)
 
 
+def pallas_forest_init(
+    state: NeighborState, X, orders, starts, sizes, metric: str,
+    leaf_cap: int, block_rows: int = 8192, interpret: bool = False,
+):
+    """Forest leaf init via the Pallas leaf all-pairs kernel.
+
+    Semantics match init_from_forest (same leaf windows, same distances up
+    to float association): per tree the data is permuted into tree order,
+    the kernel computes each leaf's pairwise tile with one contiguous DMA +
+    MXU matmul (ops.pallas_init), and the per-position results are permuted
+    back to id space and folded into the state by one wide merge. Traffic
+    is ~(X + [n, cap] outputs) per tree instead of ~n*cap gathered rows.
+    """
+    from pynndescent_tpu.ops import pallas_init as PI
+
+    n, d = X.shape
+    T = int(orders.shape[0])
+    k = state.idx.shape[1]
+    cap = -(-min(leaf_cap, 64) // 64) * 64  # kernel tile rows: multiple of 64
+    max_leaves = int(min(n, max(512, 1 << int(np.ceil(np.log2(4.0 * n / max(leaf_cap, 1) + 64))))))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _run(state, X, orders, starts, sizes):
+        l_starts, l_sizes, _ = PI.leaf_tables_from_orders(starts, sizes, n, max_leaves)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        trow = jnp.arange(T, dtype=jnp.int32)[:, None]
+        inv = (
+            jnp.zeros((T, n), jnp.int32)
+            .at[trow, orders]
+            .set(jnp.broadcast_to(pos[None], (T, n)), unique_indices=True)
+        )
+        # coverage: a position is valid iff its leaf made the compact table
+        # AND it sits inside the first `cap` rows of its leaf (oversized
+        # degenerate leaves spill; spilled rows fall back to random init)
+        head = starts == pos[None]
+        leaf_rank = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1
+        covered = (leaf_rank < max_leaves) & ((pos[None] - starts) < cap)
+        offs = jnp.arange(cap, dtype=jnp.int32)
+
+        def one_tree(carry, t):
+            X_t = X[orders[t]]
+            D = PI.leaf_allpairs(
+                X_t, l_starts[t], l_sizes[t],
+                cap=cap, metric=metric, interpret=interpret,
+            )
+            # leaf-member id table [L, cap] -> per-position window rows
+            win = l_starts[t][:, None] + offs[None, :]
+            id_table = jnp.where(
+                offs[None, :] < jnp.minimum(l_sizes[t], cap)[:, None],
+                orders[t][jnp.minimum(win, n - 1)],
+                -1,
+            )
+            I = id_table[jnp.clip(leaf_rank[t], 0, max_leaves - 1)]
+            ok = covered[t][:, None]
+            D = jnp.where(ok & (I >= 0), D, jnp.inf)
+            I = jnp.where(ok, I, -1)
+            # back to id space: row r of the output = tree position inv[r]
+            return carry, (D[inv[t]], I[inv[t]])
+
+        _, (Ds, Is) = jax.lax.scan(one_tree, 0, jnp.arange(T))
+        cand_d = jnp.moveaxis(Ds, 0, 1).reshape(n, T * cap)
+        cand_i = jnp.moveaxis(Is, 0, 1).reshape(n, T * cap)
+
+        b = min(block_rows, n)
+        n_blocks = -(-n // b)
+
+        def body(blk, st):
+            s0 = jnp.minimum(blk * b, n - b)
+            blk_state = NeighborState(
+                jax.lax.dynamic_slice_in_dim(st.idx, s0, b),
+                jax.lax.dynamic_slice_in_dim(st.dist, s0, b),
+                jax.lax.dynamic_slice_in_dim(st.flag, s0, b),
+            )
+            ci = jax.lax.dynamic_slice_in_dim(cand_i, s0, b)
+            cd = jax.lax.dynamic_slice_in_dim(cand_d, s0, b)
+            merged, _ = merge_candidates(blk_state, ci, cd)
+            return NeighborState(
+                jax.lax.dynamic_update_slice_in_dim(st.idx, merged.idx, s0, 0),
+                jax.lax.dynamic_update_slice_in_dim(st.dist, merged.dist, s0, 0),
+                jax.lax.dynamic_update_slice_in_dim(st.flag, merged.flag, s0, 0),
+            )
+
+        return jax.lax.fori_loop(0, n_blocks, body, state)
+
+    return _run(state, X, orders, starts, sizes)
+
+
+def _pallas_init_ok(metric, metric_kwds, X) -> bool:
+    from pynndescent_tpu.ops import pallas_init as PI
+
+    return (
+        PI.HAVE_PALLAS
+        and isinstance(metric, str)
+        and metric in PI.PALLAS_INIT_METRICS
+        and not metric_kwds
+        and X.dtype == jnp.float32
+        and jax.default_backend() in ("tpu", "axon")
+    )
+
+
 def init_from_tree_order(
     state: NeighborState, X, order, start, size, dist_rowwise,
     leaf_cap: int, block_rows: int = 8192,
@@ -547,6 +647,7 @@ def nn_descent(
     hop2_new_samples: int | None = None,
     hop2_old_samples: int | None = None,
     compute_dtype=None,
+    init_kernel: str = "auto",
     verbose: bool = False,
 ):
     """Full NN-descent driver (reference: nn_descent, pynndescent_.py:324).
@@ -598,16 +699,33 @@ def nn_descent(
     if forest is not None and rp_tree_init:
         orders, starts, sizes = forest
         T = int(orders.shape[0])
-        d_bytes = int(np.prod(X.shape[1:])) * X.dtype.itemsize
-        # bound the gathered [b, T*cap, d] candidate tile to ~4 GB; row
-        # gathers run several times faster at wide blocks, so prefer the
-        # widest block the budget allows
-        init_block = int(max(256, min(8192, (1 << 32) // max(T * leaf_cap * d_bytes, 1))))
-        state = _jit_forest_init(
-            state, X_join, orders, starts, sizes,
-            dist_rowwise=dist_rowwise, leaf_cap=leaf_cap,
-            block_rows=init_block,
-        )
+        use_pallas = (
+            init_kernel in ("auto", "pallas")
+            and _pallas_init_ok(metric, metric_kwds, X_join)
+            # the per-tree candidate stack is [T, n, cap] x 8 bytes
+            and T * n * 64 * 8 <= (3 << 30)
+        ) and init_kernel != "xla"
+        if init_kernel == "pallas" and not use_pallas:
+            raise ValueError(
+                "init_kernel='pallas' requires a gram-form registry metric, "
+                "float32 data, and a TPU backend"
+            )
+        if use_pallas:
+            state = pallas_forest_init(
+                state, X_join, orders, starts, sizes,
+                metric=metric, leaf_cap=leaf_cap,
+            )
+        else:
+            d_bytes = int(np.prod(X.shape[1:])) * X.dtype.itemsize
+            # bound the gathered [b, T*cap, d] candidate tile to ~4 GB; row
+            # gathers run several times faster at wide blocks, so prefer the
+            # widest block the budget allows
+            init_block = int(max(256, min(8192, (1 << 32) // max(T * leaf_cap * d_bytes, 1))))
+            state = _jit_forest_init(
+                state, X_join, orders, starts, sizes,
+                dist_rowwise=dist_rowwise, leaf_cap=leaf_cap,
+                block_rows=init_block,
+            )
     state = _jit_init_random(
         state, X_join, rng.derive(key, rng.ROLE_DESCENT_INIT),
         n_extra=k, dist_rowwise=dist_rowwise,
