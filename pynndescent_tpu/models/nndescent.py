@@ -27,6 +27,7 @@ from pynndescent_tpu.ops import prune as prune_ops
 from pynndescent_tpu.ops import rp_trees
 from pynndescent_tpu.models import search as search_ops
 from pynndescent_tpu.utils import rng
+from pynndescent_tpu.utils.transfer import to_device_chunked
 
 
 def _ts():
@@ -219,7 +220,7 @@ class NNDescent:
             data = data / np.where(norms == 0.0, 1.0, norms)
 
         self._raw_data = data
-        self._X = jnp.asarray(data)
+        self._X = to_device_chunked(data)
 
         self._root_seed = rng.resolve_seed(random_state)
         self._key = rng.state_from_seed(self._root_seed)
@@ -691,7 +692,7 @@ class NNDescent:
         # single upload: queries go to the device once; search results stay
         # on device when a rerank follows (host round-trips through the
         # device tunnel would otherwise dominate serving latency)
-        q_dev = jnp.asarray(q)
+        q_dev = to_device_chunked(q)
         search_q_dev = q_dev if search_q is q else jnp.asarray(search_q)
         tree_q_dev = None
         if tree_queries is not None:
@@ -855,7 +856,7 @@ class NNDescent:
             ).astype(np.float32)
 
         self._raw_data = data
-        self._X = jnp.asarray(data)
+        self._X = to_device_chunked(data)
         n = data.shape[0]
 
         # shrunken forest (reference: n_trees_after_update, :1016, :2498)

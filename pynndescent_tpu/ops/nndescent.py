@@ -702,8 +702,6 @@ def nn_descent(
         use_pallas = (
             init_kernel in ("auto", "pallas")
             and _pallas_init_ok(metric, metric_kwds, X_join)
-            # the per-tree candidate stack is [T, n, cap] x 8 bytes
-            and T * n * 64 * 8 <= (3 << 30)
         ) and init_kernel != "xla"
         if init_kernel == "pallas" and not use_pallas:
             raise ValueError(
@@ -711,10 +709,17 @@ def nn_descent(
                 "float32 data, and a TPU backend"
             )
         if use_pallas:
-            state = pallas_forest_init(
-                state, X_join, orders, starts, sizes,
-                metric=metric, leaf_cap=leaf_cap,
-            )
+            # the per-tree candidate stack is [T, n, cap] x 8 bytes; at large
+            # n process the forest in tree chunks to bound it at ~3 GB
+            chunk = int(max(1, min(T, (3 << 30) // max(n * 64 * 8, 1))))
+            for t0 in range(0, T, chunk):
+                state = pallas_forest_init(
+                    state, X_join,
+                    orders[t0 : t0 + chunk],
+                    starts[t0 : t0 + chunk],
+                    sizes[t0 : t0 + chunk],
+                    metric=metric, leaf_cap=leaf_cap,
+                )
         else:
             d_bytes = int(np.prod(X.shape[1:])) * X.dtype.itemsize
             # bound the gathered [b, T*cap, d] candidate tile to ~4 GB; row

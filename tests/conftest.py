@@ -59,7 +59,7 @@ SLOW_TESTS = {
     "test_build_recall_cosine",
     # hub trees — keep test_hub_tree_query_recall in quick tier
     "test_hub_tree_self_query",
-    # api — keep transformer_sklearn_pipeline + quantized/compressed pickle
+    # api — keep transformer_sklearn_pipeline + quantized pickle
     "test_update_with_fresh_data",
     "test_update_with_changed_data",
     "test_update_bit_metric_data",
@@ -70,6 +70,14 @@ SLOW_TESTS = {
     "test_transformer_fit_compresses_index",
     # parallel — keep sharded_build_recall + both graft checks in quick tier
     "test_sharded_build_shard_equivalence",
+    # measured heaviest of the quick tier (compile-bound on the 1-core CPU
+    # host); each keeps a cheaper quick-tier representative:
+    "test_compressed_pickle_roundtrip",  # pickle via test_quantized_pickle_roundtrip
+    "test_quantized_codebook_deterministic_with_randomstate",  # uint8/uint4 query tests remain
+    "test_ell_dense_query_rejected",  # ELL via test_wide_sparse_ell_cosine
+    "test_update_scenarios[update_only-cosine]",  # euclidean scenario remains
+    "test_inf_query_rejected",  # NaN/inf build rejection tests remain
+    "test_tree_init_false",  # random-init covered inside descent tests
 }
 
 

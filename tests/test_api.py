@@ -226,3 +226,38 @@ def test_init_graph(nn_data):
     nn = NearestNeighbors(n_neighbors=k).fit(nn_data)
     true_idx = nn.kneighbors(nn_data, k, return_distance=False)
     assert _recall(idx, true_idx) >= 0.98
+
+
+def test_output_when_verbose_is_true(small_data, capsys):
+    """Verbose builds narrate phases (reference test_pynndescent_.py:372)."""
+    index = NNDescent(small_data, n_neighbors=4, random_state=1, verbose=True)
+    index.prepare()
+    out = capsys.readouterr().out
+    assert "NN descent" in out
+    assert "search graph" in out.lower() or "Search graph" in out
+
+
+def test_no_output_when_verbose_is_false(small_data, capsys):
+    """Silent by default (reference test_pynndescent_.py:390)."""
+    index = NNDescent(small_data, n_neighbors=4, random_state=1, verbose=False)
+    index.prepare()
+    index.query(small_data[:4], k=3)
+    assert capsys.readouterr().out == ""
+
+
+def test_random_state_none(small_data):
+    """random_state=None must build a working index (reference :261)."""
+    index = NNDescent(small_data, n_neighbors=4, random_state=None)
+    idx, dist = index.neighbor_graph
+    assert idx.shape == (small_data.shape[0], 4)
+    assert np.all(idx >= 0)
+
+
+def test_transformer_verbose_output(small_data, capsys):
+    """Transformer forwards verbose (reference :409-440)."""
+    from pynndescent_tpu import PyNNDescentTransformer
+
+    PyNNDescentTransformer(n_neighbors=3, random_state=1, verbose=True).fit(small_data)
+    assert "NN descent" in capsys.readouterr().out
+    PyNNDescentTransformer(n_neighbors=3, random_state=1, verbose=False).fit(small_data)
+    assert capsys.readouterr().out == ""
