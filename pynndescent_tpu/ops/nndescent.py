@@ -502,7 +502,9 @@ def pallas_forest_init(
     T = int(orders.shape[0])
     k = state.idx.shape[1]
     cap = -(-min(leaf_cap, 64) // 64) * 64  # kernel tile rows: multiple of 64
-    max_leaves = int(min(n, max(512, 1 << int(np.ceil(np.log2(4.0 * n / max(leaf_cap, 1) + 64))))))
+    max_leaves = _pallas_init_max_leaves(n, leaf_cap)
+    if max_leaves is None:
+        raise ValueError("dataset too large for the pallas leaf-table SMEM budget")
 
     @functools.partial(jax.jit, static_argnames=())
     def _run(state, X, orders, starts, sizes):
@@ -570,7 +572,20 @@ def pallas_forest_init(
     return _run(state, X, orders, starts, sizes)
 
 
-def _pallas_init_ok(metric, metric_kwds, X) -> bool:
+def _pallas_init_max_leaves(n: int, leaf_cap: int) -> int | None:
+    """Leaf-table size for the Pallas init. Mean-split leaves hold
+    (leaf_size/2, leaf_size] members, so ~2.5n/leaf + slack bounds the leaf
+    count; the scalar-prefetch tables must fit TPU SMEM (1 MB), capping the
+    bucket at 2^16 entries. Returns None when the estimate exceeds the
+    budget (callers fall back to the XLA init)."""
+    est = 2.5 * n / max(leaf_cap, 1) + 256
+    bucket = int(max(512, 1 << int(np.ceil(np.log2(est)))))
+    if bucket > (1 << 16):
+        return None
+    return min(n, bucket)
+
+
+def _pallas_init_ok(metric, metric_kwds, X, leaf_cap: int) -> bool:
     from pynndescent_tpu.ops import pallas_init as PI
 
     return (
@@ -579,6 +594,7 @@ def _pallas_init_ok(metric, metric_kwds, X) -> bool:
         and metric in PI.PALLAS_INIT_METRICS
         and not metric_kwds
         and X.dtype == jnp.float32
+        and _pallas_init_max_leaves(X.shape[0], leaf_cap) is not None
         and jax.default_backend() in ("tpu", "axon")
     )
 
@@ -701,7 +717,7 @@ def nn_descent(
         T = int(orders.shape[0])
         use_pallas = (
             init_kernel in ("auto", "pallas")
-            and _pallas_init_ok(metric, metric_kwds, X_join)
+            and _pallas_init_ok(metric, metric_kwds, X_join, leaf_cap)
         ) and init_kernel != "xla"
         if init_kernel == "pallas" and not use_pallas:
             raise ValueError(
