@@ -509,6 +509,13 @@ class NNDescent:
             self._X.shape[0], st_leaf_size
         )
         ell_nnz = self._ell["nnz"] if self._ell is not None else None
+        # sparse/bit hub splits are scored by graph edge cuts (reference
+        # rp_trees.py:1414-1431); dense uses balance and ignores the graph
+        nb_idx = (
+            jnp.asarray(idx0)
+            if (ell_nnz is not None or self._is_bit)
+            else None
+        )
         n_cand = max(1, int(self.n_search_trees))
         # host-side seed derivation: a device randint would cost a round trip
         # just to read the ints back
@@ -520,7 +527,7 @@ class NNDescent:
                 o, s, z = rp_trees.build_tree_order(
                     self._X, jnp.uint32(cand), st_leaf_size, st_depth,
                     angular=self._angular_trees, ell_nnz=ell_nnz,
-                    degrees=degrees_dev,
+                    degrees=degrees_dev, neighbor_idx=nb_idx,
                 )
                 sc = rp_trees.score_tree(o, s, z, idx0)
                 if self.verbose:
@@ -536,6 +543,7 @@ class NNDescent:
             materialize=self.quantization is not None,
             degrees=degrees_dev,
             ell_nnz=ell_nnz,
+            neighbor_idx=nb_idx,
         )
         self._search_tree = tree.to_arrays()
 

@@ -335,26 +335,38 @@ def symmetric_kl_divergence(x, y):
 
 
 def wasserstein_1d(x, y, p=1):
-    r"""p-Wasserstein over ordered bins via CDFs (distances.py:1639)."""
-    xc = jnp.cumsum(x / jnp.sum(x, axis=-1, keepdims=True), axis=-1)
-    yc = jnp.cumsum(y / jnp.sum(y, axis=-1, keepdims=True), axis=-1)
-    return minkowski(xc, yc, p)
+    r"""p-Wasserstein over ordered bins via CDFs (distances.py:1639).
+
+    Zero-mass rows saturate to FLOAT32_MAX instead of NaN, matching the
+    reference's proxy behavior (distances.py:875-1030)."""
+    l1x = jnp.sum(x, axis=-1, keepdims=True)
+    l1y = jnp.sum(y, axis=-1, keepdims=True)
+    bad = (l1x[..., 0] == 0.0) | (l1y[..., 0] == 0.0)
+    xc = jnp.cumsum(x / jnp.where(l1x == 0, 1.0, l1x), axis=-1)
+    yc = jnp.cumsum(y / jnp.where(l1y == 0, 1.0, l1y), axis=-1)
+    return jnp.where(bad, FLOAT32_MAX, minkowski(xc, yc, p))
 
 
 def circular_kantorovich(x, y, p=1):
-    r"""Wasserstein on a circular domain via median-shifted CDFs (distances.py:1674)."""
-    xc = jnp.cumsum(x / jnp.sum(x, axis=-1, keepdims=True), axis=-1)
-    yc = jnp.cumsum(y / jnp.sum(y, axis=-1, keepdims=True), axis=-1)
+    r"""Wasserstein on a circular domain via median-shifted CDFs (distances.py:1674).
+
+    Zero-mass rows saturate to FLOAT32_MAX instead of NaN (see wasserstein_1d)."""
+    l1x = jnp.sum(x, axis=-1, keepdims=True)
+    l1y = jnp.sum(y, axis=-1, keepdims=True)
+    bad = (l1x[..., 0] == 0.0) | (l1y[..., 0] == 0.0)
+    xc = jnp.cumsum(x / jnp.where(l1x == 0, 1.0, l1x), axis=-1)
+    yc = jnp.cumsum(y / jnp.where(l1y == 0, 1.0, l1y), axis=-1)
     mu = jnp.median((xc - yc) ** p, axis=-1, keepdims=True)
     if p == 1:
-        return jnp.sum(jnp.abs(xc - yc - mu), axis=-1)
+        out = jnp.sum(jnp.abs(xc - yc - mu), axis=-1)
     elif p == 2:
         val = xc - yc - mu
-        return jnp.sqrt(jnp.sum(val * val, axis=-1))
+        out = jnp.sqrt(jnp.sum(val * val, axis=-1))
     elif p > 2:
-        return jnp.sum(jnp.abs(xc - yc - mu) ** p, axis=-1) ** (1.0 / p)
+        out = jnp.sum(jnp.abs(xc - yc - mu) ** p, axis=-1) ** (1.0 / p)
     else:
         raise ValueError("Invalid p supplied to Kantorovich distance")
+    return jnp.where(bad, FLOAT32_MAX, out)
 
 
 def proxy_wasserstein_1d(x, y):

@@ -185,14 +185,18 @@ def _reverse_samples_sorted(idx, pri, new_mask, old_mask, n, c):
     rank = posn - group_start
     keep = (rank < c) & (g_s < 2 * n)
     tgt_s = g_s >> 1
-    rows = jnp.where(keep, tgt_s, n)
+    # non-winning entries route OUT of bounds (row n+1 on an [n+1, c] buffer,
+    # mode='drop') so every in-bounds index is genuinely unique — duplicates
+    # at an in-bounds dummy row under unique_indices=True would be UB
+    oob = n + 1
+    rows = jnp.where(keep, tgt_s, oob)
     cols = jnp.where(keep, rank, 0)
     new_s = (g_s & 1) == 1
     rn = jnp.full((n + 1, c), -1, jnp.int32).at[
-        jnp.where(new_s, rows, n), cols
+        jnp.where(new_s, rows, oob), cols
     ].set(s_s, mode="drop", unique_indices=True)
     ro = jnp.full((n + 1, c), -1, jnp.int32).at[
-        jnp.where(new_s, n, rows), cols
+        jnp.where(new_s, oob, rows), cols
     ].set(s_s, mode="drop", unique_indices=True)
     won_new = (
         jnp.zeros((nk,), bool)
@@ -351,7 +355,7 @@ def _descent_iteration(
     # the new-hop budget is split between the new and old tables so the
     # pair family still covers new x new and new x old
     t_nn = max(1, (hop2_new_samples + 1) // 2)
-    t_no = max(1, hop2_new_samples - t_nn)
+    t_no = max(0, hop2_new_samples - t_nn)  # honor the budget at small values
     tbl_nn = sample.hop_new[:, :t_nn]
     tbl_no = sample.hop_old[:, :t_no]
     tbl_on = sample.hop_new[:, :hop2_old_samples]

@@ -151,8 +151,8 @@ def leaf_allpairs(X_t, leaf_starts, leaf_sizes, *, cap: int, metric: str,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(L,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((cap, d), jnp.float32),
             pltpu.VMEM((cap, out_w), jnp.float32),

@@ -126,46 +126,48 @@ def _segment_cumsum_stats(values, start, size):
 MIN_SPLIT_BALANCE = 0.1
 
 
-def _hub_anchor_points(order, start, size, level, seed, degrees, n):
+def _hub_anchor_points(order, start, size, degrees, n):
     """Graph-informed anchor choice (the reference's hub trees,
-    rp_trees.py:680-2170, pick top-in-degree members and split on hub-pair
-    hyperplanes): sample 4 member offsets per node by counter hash and keep
-    the *three* with the highest global degree (the reference's top-3 hubs,
-    get_top_k_hub_indices :747). Deterministic and shared by all node
-    members. Returns point ids h1, h2, h3 (descending degree)."""
-    offs = []
-    degs = []
-    for smp in range(4):
-        o = _hash_mod(
-            seed, jnp.uint32(level * 8 + smp + 1), start.astype(jnp.uint32), size
-        )
-        p = order[jnp.clip(start + o, 0, n - 1)]
-        d = degrees[p].astype(jnp.int32)
-        for prev in offs:  # duplicate offsets must not be picked twice
-            d = jnp.where(o == prev, -1, d)
-        offs.append(o)
-        degs.append(d)
-    offs = jnp.stack(offs)  # [4, n]
-    degs = jnp.stack(degs)
-    cols = jnp.arange(offs.shape[1])
-    picked = []
-    for _ in range(3):
-        sel = jnp.argmax(degs, axis=0)
-        off = jnp.take_along_axis(offs, sel[None], axis=0)[0]
-        degs = degs.at[sel, cols].set(jnp.iinfo(jnp.int32).min)
-        picked.append(off)
-    h1_off, h2_off, h3_off = picked
-    # degenerate tiny nodes may repeat offsets; nudge apart within the node
-    h2_off = jnp.where(h2_off == h1_off, (h1_off + 1) % jnp.maximum(size, 1), h2_off)
-    h3_off = jnp.where(
-        (h3_off == h1_off) | (h3_off == h2_off),
-        (h2_off + 1) % jnp.maximum(size, 1),
-        h3_off,
+    rp_trees.py:680-2170): the EXACT top-3 highest global-in-degree members
+    of each node (reference get_top_k_hub_indices :747), computed for every
+    node at a level with ONE segmented sort — positions are already grouped
+    by node (contiguous slices, ``start`` nondecreasing), so sorting by
+    (start, -degree) puts each node's top hubs at its first three positions.
+    Deterministic: ties break on point id via the stable sort. Returns point
+    ids h1, h2, h3 (descending degree)."""
+    deg = degrees[order].astype(jnp.int32)
+    _, _, by_deg = jax.lax.sort(
+        (start, -deg, order), num_keys=2, is_stable=True
     )
-    def pt(off):
-        return order[jnp.clip(start + jnp.minimum(off, size - 1), 0, n - 1)]
+    # tiny degenerate nodes (size < 3) clamp within the node; such nodes are
+    # at or below leaf_size and never actually split
+    p2 = start + jnp.minimum(1, jnp.maximum(size - 1, 0))
+    p3 = start + jnp.minimum(2, jnp.maximum(size - 1, 0))
+    return (
+        by_deg[jnp.clip(start, 0, n - 1)],
+        by_deg[jnp.clip(p2, 0, n - 1)],
+        by_deg[jnp.clip(p3, 0, n - 1)],
+    )
 
-    return pt(h1_off), pt(h2_off), pt(h3_off)
+
+def _edge_cut_scores(order, start, sides, neighbor_idx, n):
+    """Per-position edge-cut count of each candidate split: the number of
+    directed graph edges (i -> j) with both endpoints in the position's node
+    whose endpoints land on opposite sides (reference sparse/bit hub splits
+    score by edge cuts, rp_trees.py:1414-1431). ``sides`` is [3, n] per
+    *position*; returns [3, n] cut counts broadcast back to positions."""
+    node_of_id = jnp.zeros(n, jnp.int32).at[order].set(start, unique_indices=True)
+    nb = neighbor_idx
+    nb_safe = jnp.clip(nb, 0, n - 1)
+    same_node = (nb >= 0) & (node_of_id[nb_safe] == node_of_id[:, None])
+    node_rows = jnp.broadcast_to(node_of_id[:, None], nb.shape)
+    cuts = []
+    for c in range(sides.shape[0]):
+        side_id = jnp.zeros(n, bool).at[order].set(sides[c], unique_indices=True)
+        cut_edge = same_node & (side_id[nb_safe] != side_id[:, None])
+        table = jnp.zeros(n, jnp.int32).at[node_rows].add(cut_edge.astype(jnp.int32))
+        cuts.append(table[start])
+    return jnp.stack(cuts)
 
 
 
@@ -203,17 +205,22 @@ def _anchor_scores(X, norms, x, pts, angular, ell_nnz):
 
 
 def _split_level(X, norms, order, start, size, level, seed, leaf_size, angular,
-                 degrees=None, ell_nnz=None, sealed=None):
+                 degrees=None, ell_nnz=None, sealed=None, neighbor_idx=None):
     """Split every active node at one level.
 
     Random mode (``degrees is None``): two hash-chosen anchors per node;
     degenerate all-one-side splits fall back to random assignment
     (reference rp_trees.py:144-155).
 
-    Hub mode (``degrees`` given): three top-in-degree anchors per node, all
-    three pair hyperplanes are *scored by balance* and the best is kept; a
-    node whose best balance is below MIN_SPLIT_BALANCE bails to a leaf
-    (reference euclidean_hub_split, rp_trees.py:798-933).
+    Hub mode (``degrees`` given): the three EXACT top-in-degree members of
+    each node anchor three pair hyperplanes. Dense float data keeps the
+    best-*balanced* one; a node whose best balance is below
+    MIN_SPLIT_BALANCE bails to a leaf (reference euclidean_hub_split,
+    rp_trees.py:798-933). Sparse-ELL and bit-packed data with
+    ``neighbor_idx`` given keep the minimum-*edge-cut* one among candidates
+    with two nonempty sides, falling back to random assignment when all
+    three are degenerate (reference sparse/bit hub splits,
+    rp_trees.py:1414-1431).
 
     Returns ``(order, start, size, sealed), (a_pt, b_pt)`` where the anchor
     arrays are aligned to the *entering* positions (what each node at this
@@ -230,7 +237,7 @@ def _split_level(X, norms, order, start, size, level, seed, leaf_size, angular,
     coin = (_hash3(seed, jnp.uint32(level), order.astype(jnp.uint32)) & 1).astype(bool)
 
     if degrees is not None:
-        h1, h2, h3 = _hub_anchor_points(order, start, size, level, seed, degrees, n)
+        h1, h2, h3 = _hub_anchor_points(order, start, size, degrees, n)
         s1 = _anchor_scores(X, norms, x, h1, angular, ell_nnz)
         s2 = _anchor_scores(X, norms, x, h2, angular, ell_nnz)
         s3 = _anchor_scores(X, norms, x, h3, angular, ell_nnz)
@@ -242,24 +249,52 @@ def _split_level(X, norms, order, start, size, level, seed, leaf_size, angular,
             apts.append(pa)
             bpts.append(pb)
         sides = jnp.stack(sides)  # [3, n]
-        # one batched cumsum scores all three pair hyperplanes at once
-        prefixes, totals = _segment_cumsum_stats((~sides).astype(jnp.int32), start, size)
-        bals = jnp.minimum(totals, size - totals).astype(jnp.float32) / jnp.maximum(
-            size, 1
-        ).astype(jnp.float32)
-        best = jnp.argmax(bals, axis=0)  # [n] (node-uniform: bal is)
-        take = lambda arrs: jnp.take_along_axis(arrs, best[None], axis=0)[0]
-        side = take(sides)
-        best_bal = take(bals)
-        rank_left = take(prefixes)
-        n_left = take(totals)
-        a_pt = take(jnp.stack(apts))
-        b_pt = take(jnp.stack(bpts))
-        # bail to leaf: hopelessly unbalanced nodes stop splitting for good
-        newly_sealed = (~done) & (best_bal < MIN_SPLIT_BALANCE)
-        sealed = sealed | newly_sealed
-        done = done | newly_sealed
-        side = jnp.where(done, False, side)
+        edge_cut = neighbor_idx is not None and (
+            ell_nnz is not None or X.dtype == jnp.uint8
+        )
+        if edge_cut:
+            # candidate 3 = pure coin assignment (reference random fallback)
+            coin_side = jnp.where(done, False, coin)
+            cand_sides = jnp.concatenate([sides, coin_side[None]], axis=0)
+            prefixes, totals = _segment_cumsum_stats(
+                (~cand_sides).astype(jnp.int32), start, size
+            )
+            cuts = _edge_cut_scores(order, start, sides, neighbor_idx, n)
+            valid = (totals[:3] > 0) & (totals[:3] < size)
+            score = jnp.where(valid, cuts, jnp.iinfo(jnp.int32).max)
+            best = jnp.argmin(score, axis=0)
+            best = jnp.where(jnp.any(valid, axis=0), best, 3)
+            take = lambda arrs: jnp.take_along_axis(arrs, best[None], axis=0)[0]
+            side = take(cand_sides)
+            rank_left = take(prefixes)
+            n_left = take(totals)
+            take3 = lambda arrs: jnp.take_along_axis(
+                arrs, jnp.minimum(best, 2)[None], axis=0
+            )[0]
+            a_pt = take3(jnp.stack(apts))
+            b_pt = take3(jnp.stack(bpts))
+            side = jnp.where(done, False, side)
+        else:
+            # one batched cumsum scores all three pair hyperplanes at once
+            prefixes, totals = _segment_cumsum_stats(
+                (~sides).astype(jnp.int32), start, size
+            )
+            bals = jnp.minimum(totals, size - totals).astype(jnp.float32) / jnp.maximum(
+                size, 1
+            ).astype(jnp.float32)
+            best = jnp.argmax(bals, axis=0)  # [n] (node-uniform: bal is)
+            take = lambda arrs: jnp.take_along_axis(arrs, best[None], axis=0)[0]
+            side = take(sides)
+            best_bal = take(bals)
+            rank_left = take(prefixes)
+            n_left = take(totals)
+            a_pt = take(jnp.stack(apts))
+            b_pt = take(jnp.stack(bpts))
+            # bail to leaf: hopelessly unbalanced nodes stop splitting for good
+            newly_sealed = (~done) & (best_bal < MIN_SPLIT_BALANCE)
+            sealed = sealed | newly_sealed
+            done = done | newly_sealed
+            side = jnp.where(done, False, side)
     else:
         a_off = _hash_mod(seed, jnp.uint32(level * 2 + 1), start.astype(jnp.uint32), size)
         b_off = _hash_mod(seed, jnp.uint32(level * 2 + 2), start.astype(jnp.uint32), jnp.maximum(size - 1, 1))
@@ -311,7 +346,7 @@ def _tree_norms(X, angular, ell_nnz=None):
     jax.jit, static_argnames=("leaf_size", "max_depth", "angular", "ell_nnz")
 )
 def build_tree_order(X, seed, leaf_size: int, max_depth: int, angular: bool = False,
-                     ell_nnz: int | None = None, degrees=None):
+                     ell_nnz: int | None = None, degrees=None, neighbor_idx=None):
     """Build one RP tree, returning the node-location encoding:
 
     order i32[n] — point ids grouped so every leaf is a contiguous slice
@@ -340,7 +375,7 @@ def build_tree_order(X, seed, leaf_size: int, max_depth: int, angular: bool = Fa
         level, order, start, size, sealed = carry
         new, _ = _split_level(X, norms, order, start, size, level, seed, leaf_size,
                               angular, ell_nnz=ell_nnz, sealed=sealed,
-                              degrees=degrees)
+                              degrees=degrees, neighbor_idx=neighbor_idx)
         return (level + 1,) + new
 
     _, order, start, size, _ = jax.lax.while_loop(
@@ -407,9 +442,11 @@ def _fast_forest_orders(X, seeds, leaf_size: int, max_depth: int, angular: bool)
         node = node * 2 + side.astype(jnp.int32)
 
     M = 1 << max_depth
-    cnt = jnp.zeros((T, M), jnp.float32).at[trow, node].add(1.0)
+    # int32 accumulation: a float32 cumsum loses integer exactness past 2^24,
+    # silently misaligning leaf windows at n > ~16.7M
+    cnt = jnp.zeros((T, M), jnp.int32).at[trow, node].add(1)
     prefix = jnp.cumsum(cnt, axis=1) - cnt
-    pair = jnp.stack([prefix, cnt], axis=-1).astype(jnp.int32)  # [T, M, 2]
+    pair = jnp.stack([prefix, cnt], axis=-1)  # [T, M, 2] i32
     ids = jnp.broadcast_to(point_ids[None], (T, n))
     node_s, order = jax.lax.sort((node, ids), dimension=1, num_keys=1, is_stable=True)
     se = pair[trow, node_s]  # [T, n, 2]
@@ -558,7 +595,7 @@ def default_head_cap(n: int, leaf_size: int) -> int:
 )
 def build_tree_trace(X, seed, leaf_size: int, max_depth: int, angular: bool = False,
                      degrees=None, ell_nnz: int | None = None,
-                     head_cap: int | None = None):
+                     head_cap: int | None = None, neighbor_idx=None):
     """Like build_tree_order but additionally emits a *compact per-level node
     table* for host-side flattening: for each level, the (sorted) start
     positions of its nodes, their sizes, and the anchor point ids they split
@@ -600,6 +637,7 @@ def build_tree_trace(X, seed, leaf_size: int, max_depth: int, angular: bool = Fa
         new, (a_pt, b_pt) = _split_level(
             X, norms, order, start, size, level, seed, leaf_size, angular,
             degrees=degrees, ell_nnz=ell_nnz, sealed=sealed,
+            neighbor_idx=neighbor_idx,
         )
         return new, compact(start, size, a_pt, b_pt)
 
@@ -619,7 +657,8 @@ def build_tree_trace(X, seed, leaf_size: int, max_depth: int, angular: bool = Fa
 
 def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
                         angular: bool = False, materialize: bool = False,
-                        degrees=None, ell_nnz: int | None = None) -> FlatTree:
+                        degrees=None, ell_nnz: int | None = None,
+                        neighbor_idx=None) -> FlatTree:
     """Build one RP tree on device and flatten it to query-descent arrays
     (the analog of convert_tree_format, reference rp_trees.py:3019; the
     per-node anchors come straight from the device trace — the host never
@@ -636,10 +675,11 @@ def flatten_search_tree(X, seed, leaf_size: int, max_depth: int | None = None,
     dg = None if degrees is None else jnp.asarray(degrees)
     head_cap = default_head_cap(n, leaf_size)
     for attempt in range(2):
+        nb = None if neighbor_idx is None else jnp.asarray(neighbor_idx)
         order, head_pos, head_size, head_a, head_b, n_heads = jax.device_get(
             build_tree_trace(
                 jnp.asarray(X), jnp.uint32(seed), leaf_size, max_depth, angular,
-                degrees=dg, ell_nnz=ell_nnz, head_cap=head_cap,
+                degrees=dg, ell_nnz=ell_nnz, head_cap=head_cap, neighbor_idx=nb,
             )
         )
         if int(n_heads.max()) <= head_cap:
@@ -820,8 +860,11 @@ def score_tree(order, start, size, neighbor_indices):
     # leaf id per point = its slice start
     leaf_of = np.empty(n, np.int64)
     leaf_of[order] = start
-    hits = leaf_of[neighbor_indices] == leaf_of[np.arange(n)][:, None]
-    return float(hits.mean())
+    # unfilled graph slots are -1; count them as misses, not python-wrapped hits
+    valid = neighbor_indices >= 0
+    safe = np.clip(neighbor_indices, 0, n - 1)
+    hits = valid & (leaf_of[safe] == leaf_of[np.arange(n)][:, None])
+    return float(hits.sum() / max(valid.sum(), 1))
 
 
 def score_linked_tree(tree_arrays, neighbor_indices):
@@ -834,5 +877,7 @@ def score_linked_tree(tree_arrays, neighbor_indices):
     for node in np.nonzero(lo >= 0)[0]:
         leaf_of[order[lo[node] : hi[node]]] = node
     neighbor_indices = np.asarray(neighbor_indices)
-    hits = leaf_of[neighbor_indices] == leaf_of[np.arange(len(neighbor_indices))][:, None]
-    return float(hits.mean())
+    valid = neighbor_indices >= 0
+    safe = np.clip(neighbor_indices, 0, n - 1)
+    hits = valid & (leaf_of[safe] == leaf_of[np.arange(len(neighbor_indices))][:, None])
+    return float(hits.sum() / max(valid.sum(), 1))

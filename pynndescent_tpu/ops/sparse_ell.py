@@ -51,6 +51,9 @@ _PAD_KEY = jnp.int32(2 * MAX_FEATURES_ELL + 8)
 def csr_to_ell_packed(csr, nnz_max: int | None = None):
     """Pack a scipy CSR matrix into [n, 2*nnz_max] f32 (indices | values)."""
     csr = csr.tocsr()
+    # duplicate entries are legal in directly-constructed scipy CSR; they
+    # would break the tagged-sort adjacency assumption downstream
+    csr.sum_duplicates()
     csr.sort_indices()
     n, d = csr.shape
     if d > MAX_FEATURES_ELL:

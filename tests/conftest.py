@@ -57,8 +57,13 @@ SLOW_TESTS = {
     # index — keep the euclidean variants in quick tier
     "test_query_recall_angular",
     "test_build_recall_cosine",
-    # hub trees — keep test_hub_tree_query_recall in quick tier
+    # hub trees — keep test_hub_tree_query_recall + the exact-anchor and
+    # score-comparison unit tests in quick tier
     "test_hub_tree_self_query",
+    "test_hub_vs_random_query_recall",
+    "test_angular_hub_tree_query_recall",
+    "test_sparse_hub_tree_query_recall",
+    "test_bit_hub_tree_query_recall",
     # api — keep transformer_sklearn_pipeline + quantized pickle
     "test_update_with_fresh_data",
     "test_update_with_changed_data",

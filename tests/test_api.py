@@ -196,6 +196,41 @@ def test_connect_graph():
     assert ncomp_after == 1
 
 
+def test_connect_graph_exact_min_edge():
+    """connect_graph must choose the TRUE minimum cross-component edge, even
+    for components larger than any sampling cap (reference finds an
+    approximate edge, graph_utils.py:123-165; the TPU build is exact)."""
+    from scipy.spatial.distance import cdist
+
+    rs = np.random.RandomState(5)
+    blob1 = rs.randn(2500, 4).astype(np.float32)  # > 2048 members
+    blob2 = rs.randn(400, 4).astype(np.float32) + 30.0
+    data = np.vstack([blob1, blob2])
+    index = NNDescent(data, n_neighbors=5, random_state=42)
+    idx, dist = index.neighbor_graph
+    A = graph_utils.adjacency_matrix_representation(idx, dist)
+    ncomp, labels = sparse.csgraph.connected_components(A, directed=False)
+    assert ncomp >= 2
+    assert np.bincount(labels).max() > 2048
+    A2 = graph_utils.connect_graph(A, index)
+    assert sparse.csgraph.connected_components(A2, directed=False)[0] == 1
+    new = sparse.triu(A2 - A).tocoo()
+    assert new.nnz >= 1
+    for i, j, v in zip(new.row, new.col, new.data):
+        c1, c2 = labels[i], labels[j]
+        assert c1 != c2
+        true_min = cdist(data[labels == c1], data[labels == c2]).min()
+        assert v == pytest.approx(true_min, rel=1e-3, abs=1e-3)
+        assert np.linalg.norm(data[i] - data[j]) == pytest.approx(
+            true_min, rel=1e-3, abs=1e-3
+        )
+    # multi-tile path: small blocks must agree with the one-tile answer
+    m1 = np.nonzero(labels == labels[0])[0]
+    m2 = np.nonzero(labels != labels[0])[0]
+    i, j, d = graph_utils._min_cross_edge(index, m1, m2, block=512)
+    assert d == pytest.approx(cdist(data[m1], data[m2]).min(), rel=1e-3, abs=1e-3)
+
+
 def test_one_dimensional_data():
     rs = np.random.RandomState(7)
     data = rs.uniform(0, 1, (500, 1)).astype(np.float32)

@@ -163,6 +163,22 @@ def test_wasserstein_1d_vs_scipy(p):
     assert got == pytest.approx(expected, rel=1e-4)
 
 
+def test_wasserstein_zero_mass_rows_saturate():
+    """Zero-sum rows must return FLOAT32_MAX, not NaN (reference proxies
+    saturate, distances.py:875-1030)."""
+    z = np.zeros(8, np.float32)
+    y = np.abs(np.random.RandomState(3).randn(8)).astype(np.float32)
+    for fn in (
+        lambda a, b: dist.wasserstein_1d(a, b, p=1),
+        lambda a, b: dist.circular_kantorovich(a, b, p=1),
+        lambda a, b: dist.circular_kantorovich(a, b, p=2),
+    ):
+        for a, b in ((z, y), (y, z), (z, z)):
+            v = float(fn(a, b))
+            assert np.isfinite(v) and v == pytest.approx(dist.FLOAT32_MAX)
+        assert np.isfinite(float(fn(y, y)))
+
+
 @pytest.mark.parametrize(
     "alt",
     ["euclidean", "cosine", "dot", "inner_product", "true_angular", "hellinger", "jaccard"],
