@@ -41,6 +41,29 @@ def make_data(n, nq, d, seed=42):
     return train, queries
 
 
+def make_tfidf_data(n, nq, d, nnz, seed=42, n_topics=256):
+    """Sparse TF-IDF-like CSR corpus: each doc draws its nnz terms from a
+    topic's vocabulary slice (clustered supports, like real text)."""
+    from scipy import sparse
+
+    rs = np.random.RandomState(seed)
+    topic_vocab = [rs.choice(d, 4 * nnz, replace=False) for _ in range(n_topics)]
+
+    def draw(m, seed2):
+        rs2 = np.random.RandomState(seed2)
+        rows = np.repeat(np.arange(m), nnz)
+        topics = rs2.randint(0, n_topics, m)
+        cols = np.concatenate(
+            [rs2.choice(topic_vocab[t], nnz, replace=False) for t in topics]
+        )
+        vals = rs2.uniform(0.1, 1.0, m * nnz).astype(np.float32)
+        M = sparse.csr_matrix((vals, (rows, cols)), shape=(m, d))
+        M.sum_duplicates()
+        return M
+
+    return draw(n, seed + 1), draw(nq, seed + 2)
+
+
 def run_workload(NNDescent, train, queries, k, epsilon, metric, seed):
     """Returns (build_seconds best-of-2, qps best-of-3, recall@k on 1k sample)."""
     build_s = float("inf")
@@ -64,6 +87,47 @@ def run_workload(NNDescent, train, queries, k, epsilon, metric, seed):
 
     nn = NearestNeighbors(n_neighbors=k, metric=metric).fit(train)
     true_idx = nn.kneighbors(queries[sample], k, return_distance=False)
+    hits = sum(
+        len(np.intersect1d(idx[s, :k], true_idx[j])) for j, s in enumerate(sample)
+    )
+    return build_s, qps, hits / (len(sample) * k)
+
+
+def run_sparse_workload(NNDescent, train, queries, k, epsilon, metric, seed):
+    """Sparse CSR workload over the packed-ELL path. Build timed once (the
+    persistent compile cache amortises across rounds); recall against a
+    sparse-native exact oracle on a 200-query sample."""
+    t0 = time.perf_counter()
+    index = NNDescent(train, metric=metric, n_neighbors=k, random_state=seed)
+    index.prepare()
+    np.asarray(index._search_graph)
+    build_s = time.perf_counter() - t0
+
+    qps = 0.0
+    idx = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        idx, _ = index.query(queries, k=k, epsilon=epsilon)
+        idx = np.asarray(idx)
+        qps = max(qps, queries.shape[0] / (time.perf_counter() - t0))
+
+    rs = np.random.RandomState(0)
+    sample = rs.choice(queries.shape[0], 200, replace=False)
+    Qs = queries[sample]
+    if metric == "cosine":
+        from sklearn.neighbors import NearestNeighbors
+
+        nn = NearestNeighbors(n_neighbors=k, metric="cosine", algorithm="brute").fit(train)
+        true_idx = nn.kneighbors(Qs, k, return_distance=False)
+    else:  # jaccard on implicit binary supports: exact via intersection counts
+        Qb = (Qs != 0).astype(np.float32)
+        Tb = (train != 0).astype(np.float32)
+        inter = np.asarray((Qb @ Tb.T).todense())
+        nnz_q = np.asarray(Qb.sum(axis=1))
+        nnz_t = np.asarray(Tb.sum(axis=1)).reshape(1, -1)
+        union = nnz_q + nnz_t - inter
+        jac = 1.0 - inter / np.maximum(union, 1.0)
+        true_idx = np.argsort(jac, axis=1, kind="stable")[:, :k]
     hits = sum(
         len(np.intersect1d(idx[s, :k], true_idx[j])) for j, s in enumerate(sample)
     )
@@ -100,9 +164,42 @@ def main():
         NNDescent, a_train, a_queries, k, epsilon, "cosine", 44
     )
 
+    # ---- MNIST-class dense workload: 70k x 784 euclidean (BASELINE.json
+    # names the ann-benchmarks MNIST-784 config; doc/mnist.png) ----
+    # Secondary workloads never break the primary metric line: on failure
+    # (e.g. transient HBM pressure on the shared chip) they report zeros.
+    try:
+        m_train, m_queries = make_data(70_000, nq, 784, seed=45)
+        m_build_s, m_qps, m_recall = run_workload(
+            NNDescent, m_train, m_queries, k, epsilon, "euclidean", 46
+        )
+    except Exception:
+        m_build_s, m_qps, m_recall = 0.0, 0.0, 0.0
+
+    # ---- sparse TF-IDF workload: 50k docs x 100k features, nnz 64,
+    # cosine + jaccard over the true sparse (packed-ELL) path ----
+    try:
+        s_train, s_queries = make_tfidf_data(50_000, 2_000, 100_000, 64, seed=47)
+        s_build_s, s_qps, s_recall = run_sparse_workload(
+            NNDescent, s_train, s_queries, k, 0.3, "cosine", 48
+        )
+        j_build_s, j_qps, j_recall = run_sparse_workload(
+            NNDescent, s_train, s_queries, k, 0.3, "jaccard", 49
+        )
+    except Exception:
+        s_build_s, s_qps, s_recall = 0.0, 0.0, 0.0
+        j_build_s, j_qps, j_recall = 0.0, 0.0, 0.0
+
     # CPU reference constants; derivation in BASELINE.md
     baseline_build_s = 30.0
     baseline_qps = 4000.0
+    baseline_mnist_build_s = 25.0
+    baseline_mnist_qps = 5000.0
+    baseline_sparse_build_s = 60.0
+    baseline_sparse_qps = 2000.0
+
+    def ratio(a, b):
+        return round(a / b, 3) if b > 0 else 0.0
 
     print(
         json.dumps(
@@ -117,6 +214,19 @@ def main():
                 "angular_qps": round(a_qps, 1),
                 "angular_recall_at_10": round(a_recall, 4),
                 "angular_build_seconds": round(a_build_s, 2),
+                "mnist_qps": round(m_qps, 1),
+                "mnist_recall_at_10": round(m_recall, 4),
+                "mnist_build_seconds": round(m_build_s, 2),
+                "mnist_qps_vs_baseline": round(m_qps / baseline_mnist_qps, 3),
+                "mnist_build_vs_baseline": ratio(baseline_mnist_build_s, m_build_s),
+                "sparse_cosine_qps": round(s_qps, 1),
+                "sparse_cosine_recall_at_10": round(s_recall, 4),
+                "sparse_cosine_build_seconds": round(s_build_s, 2),
+                "sparse_cosine_qps_vs_baseline": round(s_qps / baseline_sparse_qps, 3),
+                "sparse_cosine_build_vs_baseline": ratio(baseline_sparse_build_s, s_build_s),
+                "sparse_jaccard_qps": round(j_qps, 1),
+                "sparse_jaccard_recall_at_10": round(j_recall, 4),
+                "sparse_jaccard_build_seconds": round(j_build_s, 2),
                 "epsilon": epsilon,
                 "device": str(jax.devices()[0]),
             }

@@ -528,7 +528,10 @@ def pallas_forest_init(
         covered = (leaf_rank < max_leaves) & ((pos[None] - starts) < cap)
         offs = jnp.arange(cap, dtype=jnp.int32)
 
-        def one_tree(carry, t):
+        b = min(block_rows, n)
+        n_blocks = -(-n // b)
+
+        def one_tree(st, t):
             X_t = X[orders[t]]
             D = PI.leaf_allpairs(
                 X_t, l_starts[t], l_sizes[t],
@@ -545,33 +548,33 @@ def pallas_forest_init(
             ok = covered[t][:, None]
             D = jnp.where(ok & (I >= 0), D, jnp.inf)
             I = jnp.where(ok, I, -1)
-            # back to id space: row r of the output = tree position inv[r]
-            return carry, (D[inv[t]], I[inv[t]])
+            # back to id space: row r of the output = tree position inv[r];
+            # merge THIS tree's [n, cap] candidates immediately instead of
+            # stacking [T, n, cap] (the stack + its reshape copy cost ~2
+            # copies of T*n*cap*8 bytes — several GB at n=1M)
+            cand_d = D[inv[t]]
+            cand_i = I[inv[t]]
 
-        _, (Ds, Is) = jax.lax.scan(one_tree, 0, jnp.arange(T))
-        cand_d = jnp.moveaxis(Ds, 0, 1).reshape(n, T * cap)
-        cand_i = jnp.moveaxis(Is, 0, 1).reshape(n, T * cap)
+            def body(blk, st):
+                s0 = jnp.minimum(blk * b, n - b)
+                blk_state = NeighborState(
+                    jax.lax.dynamic_slice_in_dim(st.idx, s0, b),
+                    jax.lax.dynamic_slice_in_dim(st.dist, s0, b),
+                    jax.lax.dynamic_slice_in_dim(st.flag, s0, b),
+                )
+                ci = jax.lax.dynamic_slice_in_dim(cand_i, s0, b)
+                cd = jax.lax.dynamic_slice_in_dim(cand_d, s0, b)
+                merged, _ = merge_candidates(blk_state, ci, cd)
+                return NeighborState(
+                    jax.lax.dynamic_update_slice_in_dim(st.idx, merged.idx, s0, 0),
+                    jax.lax.dynamic_update_slice_in_dim(st.dist, merged.dist, s0, 0),
+                    jax.lax.dynamic_update_slice_in_dim(st.flag, merged.flag, s0, 0),
+                )
 
-        b = min(block_rows, n)
-        n_blocks = -(-n // b)
+            return jax.lax.fori_loop(0, n_blocks, body, st), None
 
-        def body(blk, st):
-            s0 = jnp.minimum(blk * b, n - b)
-            blk_state = NeighborState(
-                jax.lax.dynamic_slice_in_dim(st.idx, s0, b),
-                jax.lax.dynamic_slice_in_dim(st.dist, s0, b),
-                jax.lax.dynamic_slice_in_dim(st.flag, s0, b),
-            )
-            ci = jax.lax.dynamic_slice_in_dim(cand_i, s0, b)
-            cd = jax.lax.dynamic_slice_in_dim(cand_d, s0, b)
-            merged, _ = merge_candidates(blk_state, ci, cd)
-            return NeighborState(
-                jax.lax.dynamic_update_slice_in_dim(st.idx, merged.idx, s0, 0),
-                jax.lax.dynamic_update_slice_in_dim(st.dist, merged.dist, s0, 0),
-                jax.lax.dynamic_update_slice_in_dim(st.flag, merged.flag, s0, 0),
-            )
-
-        return jax.lax.fori_loop(0, n_blocks, body, state)
+        state, _ = jax.lax.scan(one_tree, state, jnp.arange(T))
+        return state
 
     return _run(state, X, orders, starts, sizes)
 
@@ -698,6 +701,11 @@ def nn_descent(
     dist_rowwise = _resolve_rowwise_metric(metric, metric_kwds)
     if leaf_cap is None:
         leaf_cap = 64
+    # large-n HBM headroom: the join's [b, P, d] candidate tile is the peak
+    # allocation; at 1M-row scale the rest of the build (X, state, tables)
+    # already holds ~1 GB, so halve the block to keep total peak bounded
+    if n > (1 << 19):
+        block_rows = min(block_rows, 4096)
 
     if (
         compute_dtype is not None

@@ -415,23 +415,28 @@ def _fast_forest_orders(X, seeds, leaf_size: int, max_depth: int, angular: bool)
     norms = _tree_norms(X, angular)
     point_ids = jnp.arange(n, dtype=jnp.int32)
 
-    def proj_one(seed):
-        R = _level_directions(seed, max_depth, d)  # [L, d]
-        P = jax.lax.dot_general(
-            X, R, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [n, L]
-        if angular:
-            P = P / jnp.maximum(norms, 1e-8)[:, None]
-        return P
-
-    P = jax.vmap(proj_one)(seeds)  # [T, n, L]
+    # per-level direction bank for ALL trees: [L, T, d]. Projections are
+    # computed per level ([n, T] at a time) instead of materialising the
+    # full [T, n, L] tensor — at n=1M x 12 trees x 18 levels that tensor
+    # alone is ~0.9 GB, and HBM headroom on a shared chip is the binding
+    # constraint before speed (one [n,d]x[d,T] matmul per level is a cheap
+    # sequential read of X).
+    R_bank = jax.vmap(lambda s: _level_directions(s, max_depth, d))(seeds)  # [T, L, d]
     trow = jnp.arange(T)[:, None]
     node = jnp.zeros((T, n), jnp.int32)
     fleaf = jnp.float32(leaf_size)
+    inv_norms = (
+        (1.0 / jnp.maximum(norms, 1e-8))[None, :] if angular else None
+    )
 
     for level in range(max_depth):
         M = 1 << level
-        pl = P[:, :, level]  # [T, n]
+        pl = jax.lax.dot_general(
+            R_bank[:, level], X, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, n]
+        if inv_norms is not None:
+            pl = pl * inv_norms
         vals = jnp.stack([pl, jnp.ones_like(pl)], axis=-1)
         table = jnp.zeros((T, M, 2), jnp.float32).at[trow, node].add(vals)
         s, c = table[..., 0], table[..., 1]

@@ -226,13 +226,28 @@ def _sharded_data_nn_descent(
     leaf_cap: int = 64,
     block_rows: int | None = None,
     axis_name: str = "data",
+    exchange_slack: int = 32,
 ):
-    """NN-descent with X row-sharded over the mesh (shard_map + explicit
-    collectives). The small per-vertex structures (neighbor state, candidate
-    tables — O(n·k), independent of d) are replicated; every gather of point
-    rows goes through the ICI ring. Per-device distance work is the full
-    pool (the ring visits every shard), but peak memory is
-    ``n·d/n_dev + O(n·k)`` — the regime the reference cannot reach at all.
+    """NN-descent with BOTH X and the neighbor state row-sharded over the
+    mesh (shard_map + explicit collectives) — the >per-device-HBM regime.
+
+    This is the faithful TPU mapping of the reference's owner-computes
+    update pattern (SURVEY §5; reference utils.py:536-733): each device owns
+    a vertex shard and its state rows, performs the local join over its own
+    rows' candidates, and routes fixed-width **(target, source, distance)
+    update tuples to the target's owner shard with ``lax.all_to_all``**.
+    Per-iteration cross-device volume per device:
+
+      * reverse-candidate edges out:  O(n·k / n_dev) tuples
+      * reverse winners returned:     O(n·c / n_dev) tuples
+      * join update tuples:           O(exchange_slack · n·k / n_dev) tuples
+      * heap-root thresholds:         O(n) scalars (all_gather of [s] f32)
+
+    — no replicated O(n·k) state and no O(n·k·n_dev) all-gather. Peak
+    memory is ``n·d/n_dev + O(n·k/n_dev)`` per device. Bucket overflow
+    drops the *worst* entries (highest random priority for samples, largest
+    distance for updates), so convergence degrades gracefully instead of
+    erroring; ``exchange_slack`` scales the update budget.
     """
     try:
         from jax import shard_map
@@ -245,191 +260,351 @@ def _sharded_data_nn_descent(
     axis_name = _data_axis(mesh, axis_name)
     n_dev = mesh.shape[axis_name]
     if n % n_dev != 0:
-        # pad X with zero rows; the state is padded to match and pad rows are
-        # masked inside the ops (they merge nothing)
+        # pad X with zero rows; pad rows are masked everywhere (they emit
+        # nothing, receive nothing, and are sliced off the result)
         n_pad = -(-n // n_dev) * n_dev
         X = jnp.concatenate([X, jnp.zeros((n_pad - n, d), X.dtype)], axis=0)
     n_pad = X.shape[0]
-    shard_size = n_pad // n_dev
+    s = n_pad // n_dev  # shard size (state rows and X rows per device)
     if n_iters is None:
         n_iters = max(5, int(round(np.log2(max(n, 2)))))
     if max_candidates is None:
         max_candidates = min(60, n_neighbors)
+    c = max_candidates
     if block_rows is None:
-        block_rows = min(nnd_ops.DEFAULT_BLOCK_ROWS, shard_size)
-    b = min(block_rows, shard_size)
+        block_rows = min(nnd_ops.DEFAULT_BLOCK_ROWS, s)
+    b = max(1, min(block_rows, s))
+    # pair-join block: the [bj, 2c, 2c, d] broadcast must stay bounded
+    bj = max(1, min(b, (8 << 20) // max(16 * c * c * d, 1)))
+
+    # fixed all-to-all bucket widths (per destination device)
+    cap_r = max(8, -(-2 * s * k // n_dev))  # reverse edges out
+    cap_w = max(8, -(-2 * s * c // n_dev))  # reverse winners returned
+    cap_u = max(16, -(-exchange_slack * s * k // n_dev))  # update tuples
 
     dist_rowwise = nnd_ops._resolve_rowwise_metric(metric, metric_kwds)
-    # pad rows must never win a merge: they sit at the origin, so mask by id
     n_real = n
 
-    x_sharding = NamedSharding(mesh, P(*([None] * (len(mesh.axis_names) - 1)), None))
     spec_x = P(axis_name, None)
     spec_rep = P()
 
-    def mask_pool(pool):
-        return jnp.where(pool < n_real, pool, -1)
-
     def ring(X_shard, ids):
-        return _ring_gather_rows(X_shard, ids, axis_name, n_dev, shard_size)
+        return _ring_gather_rows(X_shard, ids, axis_name, n_dev, s)
 
-    def shard_rows(me):
-        return me * shard_size + jnp.arange(shard_size, dtype=jnp.int32)
+    def a2a_i(x):
+        return jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
 
-    def tree_init_shard(X_shard, state, order, start, size, key):
-        """Leaf-window init for MY vertex shard (tree positions are global;
-        each device handles the positions whose points it owns... positions
-        are arbitrary, so each device takes an equal contiguous slab of
-        positions and merges into the state rows of those points, which is a
-        cross-shard scatter — instead, each device processes the slab and
-        the merged rows are combined by a global minimum-merge (psum-style
-        union below)."""
+    def _bucket_by_dest(dest, sort_key, ints, cap):
+        """Route flat tuples to fixed [n_dev*cap, w] buckets: per dest keep
+        the cap entries with smallest sort_key (iid-uniform keys = a uniform
+        subsample; distance keys = best-first). Overflow and invalid
+        entries (dest >= n_dev) route out of bounds and are dropped."""
+        E = dest.shape[0]
+        ops = (dest, sort_key) + tuple(ints)
+        sorted_ops = jax.lax.sort(ops, num_keys=2)
+        d_s, k_s = sorted_ops[0], sorted_ops[1]
+        ints_s = sorted_ops[2:]
+        posn = jnp.arange(E, dtype=jnp.int32)
+        is_head = jnp.concatenate([jnp.ones((1,), bool), d_s[1:] != d_s[:-1]])
+        gstart = jax.lax.cummax(jnp.where(is_head, posn, -1))
+        rank = posn - gstart
+        keep = (rank < cap) & (d_s < n_dev)
+        slot = jnp.where(keep, d_s * cap + rank, n_dev * cap)  # oob -> drop
+        out_i = [
+            jnp.full((n_dev * cap,), -1, jnp.int32)
+            .at[slot]
+            .set(v, mode="drop", unique_indices=True)
+            for v in ints_s
+        ]
+        out_f = (
+            jnp.full((n_dev * cap,), jnp.inf, jnp.float32)
+            .at[slot]
+            .set(k_s, mode="drop", unique_indices=True)
+        )
+        return out_i, out_f
+
+    def _group_topc(gkey, n_groups, sort_key, ints, cap):
+        """Per contiguous group key in [0, n_groups), keep the cap smallest
+        sort_key entries; returns per-group [n_groups, cap] tables (-1 pad)
+        plus the kept mask aligned with the sort order inputs."""
+        E = gkey.shape[0]
+        ops = (gkey, sort_key) + tuple(ints)
+        sorted_ops = jax.lax.sort(ops, num_keys=2)
+        g_s = sorted_ops[0]
+        ints_s = sorted_ops[2:]
+        posn = jnp.arange(E, dtype=jnp.int32)
+        is_head = jnp.concatenate([jnp.ones((1,), bool), g_s[1:] != g_s[:-1]])
+        gstart = jax.lax.cummax(jnp.where(is_head, posn, -1))
+        rank = posn - gstart
+        keep = (rank < cap) & (g_s >= 0) & (g_s < n_groups)
+        slot = jnp.where(keep, g_s * cap + rank, n_groups * cap)
+        tables = [
+            jnp.full((n_groups * cap,), -1, jnp.int32)
+            .at[slot]
+            .set(v, mode="drop", unique_indices=True)
+            .reshape(n_groups, cap)
+            for v in ints_s
+        ]
+        return tables, (g_s, rank, keep, ints_s)
+
+    def _local_merge_block(st, rows_local, cand, dmat):
+        row_state = NeighborState(
+            st.idx[rows_local], st.dist[rows_local], st.flag[rows_local]
+        )
+        merged, n_changed = merge_candidates(row_state, cand, dmat)
+        return (
+            NeighborState(
+                st.idx.at[rows_local].set(merged.idx, unique_indices=True),
+                st.dist.at[rows_local].set(merged.dist, unique_indices=True),
+                st.flag.at[rows_local].set(merged.flag, unique_indices=True),
+            ),
+            n_changed,
+        )
+
+    def tree_init_shard(X_shard, state, order, start, size, inv):
+        """Leaf-window init for MY OWNED POINTS: each device looks up its own
+        points' tree positions (``inv`` = inverse permutation, replicated
+        O(n) ints), gathers their leaf windows, and merges locally — zero
+        exchange; the only cross-device traffic is the X ring."""
         me = jax.lax.axis_index(axis_name)
         offsets = jnp.arange(leaf_cap, dtype=jnp.int32)
-        n_blocks = -(-shard_size // b)
+        n_blocks = -(-s // b)
 
         def body(blk, st):
-            s0 = me * shard_size + jnp.minimum(blk * b, shard_size - b)
-            pos = s0 + jnp.arange(b, dtype=jnp.int32)
-            pts = order[pos]
+            r0 = jnp.minimum(blk * b, s - b)
+            rows_local = r0 + jnp.arange(b, dtype=jnp.int32)
+            pts = me * s + rows_local
+            pos = inv[jnp.minimum(pts, n_real - 1)]
             lstart = start[pos]
             lsize = size[pos]
             win = lstart[:, None] + offsets[None, :]
-            cand = order[jnp.minimum(win, n_pad - 1)]
+            cand = order[jnp.minimum(win, order.shape[0] - 1)]
             cand = jnp.where(
                 offsets[None, :] < jnp.minimum(lsize, leaf_cap)[:, None], cand, -1
             )
-            cand = mask_pool(cand)
-            cand = jnp.where(pts[:, None] < n_real, cand, -1)
-            Q = ring(X_shard, jnp.minimum(pts, n_real - 1))
+            cand = jnp.where((pts[:, None] < n_real) & (cand < n_real), cand, -1)
+            Q = X_shard[rows_local]
             C = ring(X_shard, jnp.maximum(cand, 0))
             dmat = dist_rowwise(Q, C)
             dmat = jnp.where(cand < 0, jnp.inf, dmat)
-            row_state = NeighborState(st.idx[pts], st.dist[pts], st.flag[pts])
-            merged, _ = merge_candidates(row_state, cand, dmat)
-            return NeighborState(
-                st.idx.at[pts].set(merged.idx, unique_indices=True),
-                st.dist.at[pts].set(merged.dist, unique_indices=True),
-                st.flag.at[pts].set(merged.flag, unique_indices=True),
-            )
+            st, _ = _local_merge_block(st, rows_local, cand, dmat)
+            return st
 
-        st = jax.lax.fori_loop(0, n_blocks, body, state)
-        # devices touched disjoint position slabs but possibly overlapping
-        # final-block rows; merge all devices' states by keeping, per row,
-        # the union's best k (an all-gather + merge = the all-to-all update
-        # exchange of SURVEY §5 in its simplest correct form)
-        return _merge_replicated_states(st, state)
+        return jax.lax.fori_loop(0, n_blocks, body, state)
 
-    def _merge_replicated_states(st, base):
-        all_idx = jax.lax.all_gather(st.idx, axis_name)  # [n_dev, n_pad, k]
-        all_dist = jax.lax.all_gather(st.dist, axis_name)
-        all_flag = jax.lax.all_gather(st.flag, axis_name)
-        merged = base
-        for dev in range(n_dev):
-            cand_idx = jnp.where(all_flag[dev] | (all_idx[dev] >= 0), all_idx[dev], -1)
-            merged, _ = merge_candidates(merged, cand_idx, all_dist[dev])
-        return merged
-
-    def iter_shard(X_shard, state, key):
-        """One descent iteration: candidate sampling over the replicated
-        state, join + merge for MY vertex shard only, then all-gather of the
-        updated shards."""
+    def random_init_shard(X_shard, state, key):
         me = jax.lax.axis_index(axis_name)
-        k_cand, k_join = jax.random.split(key)
-        sample = nnd_ops.build_candidates(state, k_cand, max_candidates)
-        state = state._replace(flag=sample.flag)
+        n_blocks = -(-s // b)
 
-        # leading-slice 2-hop tables (see ops.nndescent._descent_iteration)
-        h2n = max_candidates
-        t_nn = max(1, (h2n + 1) // 2)
-        t_no = max(1, h2n - t_nn)
-        tbl_nn = sample.hop_new[:, :t_nn]
-        tbl_no = sample.hop_old[:, :t_no]
-        tbl_on = sample.hop_new[:, : max(1, max_candidates // 2)]
-
-        n_blocks = -(-shard_size // b)
-
-        def body(blk, carry):
-            st, changes = carry
-            start_row = me * shard_size + jnp.minimum(blk * b, shard_size - b)
-            rows = start_row + jnp.arange(b, dtype=jnp.int32)
-            hop_new = jax.lax.dynamic_slice_in_dim(sample.hop_new, start_row, b)
-            hop_old = jax.lax.dynamic_slice_in_dim(sample.hop_old, start_row, b)
-            hop2_new = jnp.concatenate(
-                [
-                    nnd_ops._slice_hop2(tbl_nn, hop_new),
-                    nnd_ops._slice_hop2(tbl_no, hop_new),
-                ],
-                axis=-1,
-            )
-            hop2_old = nnd_ops._slice_hop2(tbl_on, hop_old)
-            pool = jnp.concatenate([hop_new, hop2_new, hop2_old], axis=-1)
-            pool = mask_pool(pool)
-            pool = jnp.where(rows[:, None] < n_real, pool, -1)
-            Q = ring(X_shard, jnp.minimum(rows, n_real - 1))
-            C = ring(X_shard, jnp.maximum(pool, 0))
-            dmat = dist_rowwise(Q, C)
-            dmat = jnp.where(pool < 0, jnp.inf, dmat)
-            blk_state = NeighborState(
-                jax.lax.dynamic_slice_in_dim(st.idx, start_row, b),
-                jax.lax.dynamic_slice_in_dim(st.dist, start_row, b),
-                jax.lax.dynamic_slice_in_dim(st.flag, start_row, b),
-            )
-            merged, n_changed = merge_candidates(blk_state, pool, dmat)
-            st = NeighborState(
-                jax.lax.dynamic_update_slice_in_dim(st.idx, merged.idx, start_row, 0),
-                jax.lax.dynamic_update_slice_in_dim(st.dist, merged.dist, start_row, 0),
-                jax.lax.dynamic_update_slice_in_dim(st.flag, merged.flag, start_row, 0),
-            )
-            return st, changes + n_changed
-
-        st, changes = jax.lax.fori_loop(0, n_blocks, body, (state, jnp.int32(0)))
-        st = _merge_replicated_states(st, state)
-        changes = jax.lax.psum(changes, axis_name)
-        return st, changes
-
-    stop_count = jnp.float32(delta * k * n)
-
-    def program(X_shard, key):
-        state = make_neighbor_state(n_pad, k)
-        if forest is not None:
-            orders, starts, sizes = forest_dev
-
-            def tree_body(t, st):
-                return tree_init_shard(
-                    X_shard, st, orders[t], starts[t], sizes[t],
-                    jax.random.fold_in(key, t),
-                )
-
-            state = jax.lax.fori_loop(0, orders.shape[0], tree_body, state)
-        # random init on my shard's rows, then union
-        me = jax.lax.axis_index(axis_name)
-
-        def rand_block(blk, st):
-            s0 = me * shard_size + jnp.minimum(blk * b, shard_size - b)
-            rows = s0 + jnp.arange(b, dtype=jnp.int32)
+        def body(blk, st):
+            r0 = jnp.minimum(blk * b, s - b)
+            rows_local = r0 + jnp.arange(b, dtype=jnp.int32)
+            pts = me * s + rows_local
             cand = jax.random.randint(
-                jax.random.fold_in(rng.derive(key, rng.ROLE_DESCENT_INIT), blk + 1000 * me),
+                jax.random.fold_in(key, blk * n_dev + me),
                 (b, k), 0, n_real, dtype=jnp.int32,
             )
-            self_ids = rows[:, None]
+            self_ids = pts[:, None]
             cand = jnp.concatenate([self_ids, cand], axis=-1)
-            cand = jnp.where(rows[:, None] < n_real, cand, -1)
-            Q = ring(X_shard, jnp.minimum(rows, n_real - 1))
+            cand = jnp.where(pts[:, None] < n_real, cand, -1)
+            Q = X_shard[rows_local]
             C = ring(X_shard, jnp.maximum(cand, 0))
             dmat = dist_rowwise(Q, C)
             dmat = jnp.where(cand == self_ids, 0.0, dmat)
             dmat = jnp.where(cand < 0, jnp.inf, dmat)
-            row_state = NeighborState(st.idx[rows], st.dist[rows], st.flag[rows])
-            merged, _ = merge_candidates(row_state, cand, dmat)
-            return NeighborState(
-                st.idx.at[rows].set(merged.idx, unique_indices=True),
-                st.dist.at[rows].set(merged.dist, unique_indices=True),
-                st.flag.at[rows].set(merged.flag, unique_indices=True),
-            )
+            st, _ = _local_merge_block(st, rows_local, cand, dmat)
+            return st
 
-        st = jax.lax.fori_loop(0, -(-shard_size // b), rand_block, state)
-        state = _merge_replicated_states(st, state)
+        return jax.lax.fori_loop(0, n_blocks, body, state)
+
+    def sample_candidates_shard(state, key):
+        """Sharded candidate builder (reference new_build_candidates,
+        utils.py:221-320): forward sampling is local; reverse sampling
+        routes each directed edge to its target's owner as a (target, src,
+        slot) tuple keyed by an iid-uniform priority, and the winners'
+        (src, slot) return to the source owner to clear new-flags."""
+        me = jax.lax.axis_index(axis_name)
+        k_f, k_r = jax.random.split(key)
+        valid = (state.idx >= 0) & (state.idx < n_real)
+        pri = jax.random.uniform(jax.random.fold_in(k_f, me), (s, k))
+        new_mask = valid & state.flag
+        old_mask = valid & ~state.flag
+        fwd_new, pos_new, sel_new = nnd_ops._forward_sample(state.idx, pri, new_mask, c)
+        fwd_old, _, _ = nnd_ops._forward_sample(state.idx, pri, old_mask, c)
+
+        # ---- reverse edges out (all_to_all #1) ----
+        rpri = jax.random.uniform(jax.random.fold_in(k_r, me), (s, k))
+        tgt = state.idx.reshape(-1)
+        src = jnp.broadcast_to(
+            (me * s + jnp.arange(s, dtype=jnp.int32))[:, None], (s, k)
+        ).reshape(-1)
+        slot = jnp.broadcast_to(
+            jnp.arange(k, dtype=jnp.int32)[None, :], (s, k)
+        ).reshape(-1)
+        isnew = (new_mask).reshape(-1)
+        ok = valid.reshape(-1)
+        dest = jnp.where(ok, tgt // s, n_dev)
+        (bi, bf) = _bucket_by_dest(
+            dest, jnp.where(ok, rpri.reshape(-1), jnp.inf),
+            (tgt, src, slot, isnew.astype(jnp.int32)), cap_r,
+        )
+        rx = [a2a_i(v) for v in bi]
+        rx_pri = jax.lax.all_to_all(bf, axis_name, 0, 0, tiled=True)
+        rtgt, rsrc, rslot, risnew = rx
+        rok = rtgt >= 0
+        ltgt = rtgt - me * s
+        gkey = jnp.where(rok, ltgt * 2 + risnew, -1)
+        tables, (g_s, rank, keep, ints_s) = _group_topc(
+            gkey, 2 * s, jnp.where(rok, rx_pri, jnp.inf), (rsrc, rslot), c
+        )
+        src_tab, slot_tab = tables
+        src_tab = src_tab.reshape(s, 2, c)
+        rev_old = src_tab[:, 0]  # gkey even = old edges
+        rev_new = src_tab[:, 1]
+
+        # ---- winners return to source owners (all_to_all #2) ----
+        src_s, slot_s = ints_s
+        win_new = keep & ((g_s & 1) == 1)
+        wdest = jnp.where(win_new, src_s // s, n_dev)
+        (wbi, _) = _bucket_by_dest(
+            wdest, jnp.where(win_new, 0.0, jnp.inf), (src_s, slot_s), cap_w
+        )
+        wsrc, wslot = (a2a_i(v) for v in wbi)
+        wok = wsrc >= 0
+        lsrc = jnp.where(wok, wsrc - me * s, s)
+        flag = state.flag
+        # forward-sampled flags clear locally (reference clears on sample)
+        rows = jnp.broadcast_to(
+            jnp.arange(s, dtype=jnp.int32)[:, None], pos_new.shape
+        )
+        flag = flag.at[rows, pos_new].set(
+            jnp.where(sel_new, False, flag[rows, pos_new]), unique_indices=True
+        )
+        # reverse winners: each (src, slot) edge wins at most once globally
+        flag = flag.at[lsrc, jnp.maximum(wslot, 0)].set(False, mode="drop")
+        cand_new = jnp.concatenate([fwd_new, rev_new], axis=-1)  # [s, 2c]
+        cand_old = jnp.concatenate([fwd_old, rev_old], axis=-1)
+        return cand_new, cand_old, flag
+
+    def iter_shard(X_shard, state, key):
+        """One owner-computes iteration: local join over my rows' candidate
+        pairs, emission of (target, other, d) tuples to owner shards
+        (all_to_all #3), local application."""
+        me = jax.lax.axis_index(axis_name)
+        cand_new, cand_old, flag = sample_candidates_shard(state, key)
+        state = state._replace(flag=flag)
+
+        # current k-th distances of ALL rows, replicated (O(n) f32): the
+        # emission threshold (reference utils.py:607-656 thresholds by the
+        # endpoint heap roots before emitting)
+        roots = jax.lax.all_gather(state.dist[:, -1], axis_name, tiled=True)
+
+        n_blocks = -(-s // bj)
+        w = 2 * c
+
+        def pair_dists(A, B):
+            bb, ma, dd = A.shape
+            mb = B.shape[1]
+            Q = A.reshape(bb * ma, dd)
+            C = jnp.broadcast_to(B[:, None], (bb, ma, mb, dd)).reshape(bb * ma, mb, dd)
+            return dist_rowwise(Q, C).reshape(bb, ma, mb)
+
+        def emit_block(blk, carry):
+            st, local_changes, buf_t, buf_o, buf_d = carry
+            r0 = jnp.minimum(blk * bj, s - bj)
+            rows_local = r0 + jnp.arange(bj, dtype=jnp.int32)
+            cn = cand_new[rows_local]  # [bj, w] global ids
+            co = cand_old[rows_local]
+            Xn = ring(X_shard, jnp.maximum(cn, 0))
+            Xo = ring(X_shard, jnp.maximum(co, 0))
+            # 1-hop self-merge: the candidate rows are already on hand, so
+            # each row folds its own sampled candidates in locally (zero
+            # extra exchange; pure quality win over emit-only)
+            own = jnp.concatenate([cn, co], axis=-1)
+            own_d = dist_rowwise(X_shard[rows_local], jnp.concatenate([Xn, Xo], axis=1))
+            own_d = jnp.where(own >= 0, own_d, jnp.inf)
+            own = jnp.where(
+                own == (me * s + rows_local)[:, None], -1, own
+            )  # no self edges
+            st, ch1 = _local_merge_block(st, rows_local, own, own_d)
+            Dnn = pair_dists(Xn, Xn)  # [bj, w, w]
+            Dno = pair_dists(Xn, Xo)
+            iu = jnp.triu(jnp.ones((w, w), bool), 1)[None]
+            vn = cn >= 0
+            vo = co >= 0
+            m_nn = iu & vn[:, :, None] & vn[:, None, :]
+            m_no = vn[:, :, None] & vo[:, None, :]
+
+            def flat(P, Q_, D, m):
+                p = jnp.broadcast_to(P[:, :, None], D.shape).reshape(-1)
+                q = jnp.broadcast_to(Q_[:, None, :], D.shape).reshape(-1)
+                dv = jnp.where(m, D, jnp.inf).reshape(-1)
+                return p, q, dv
+
+            p1, q1, d1 = flat(cn, cn, Dnn, m_nn)
+            p2, q2, d2 = flat(cn, co, Dno, m_no)
+            # both directions: the tuple targeted at t is kept iff it beats
+            # t's current k-th distance (stale by <= 1 iteration — harmless)
+            t_all = jnp.concatenate([p1, q1, p2, q2])
+            o_all = jnp.concatenate([q1, p1, q2, p2])
+            d_all = jnp.concatenate([d1, d1, d2, d2])
+            ok = (
+                jnp.isfinite(d_all)
+                & (t_all >= 0)
+                & (o_all >= 0)
+                & (t_all != o_all)
+                & (d_all < roots[jnp.maximum(t_all, 0)])
+            )
+            # fold this block's tuples into the running per-dest best buffers
+            t_cat = jnp.concatenate([buf_t, jnp.where(ok, t_all, -1)])
+            o_cat = jnp.concatenate([buf_o, o_all])
+            d_cat = jnp.concatenate([buf_d, jnp.where(ok, d_all, jnp.inf)])
+            dest = jnp.where(t_cat >= 0, t_cat // s, n_dev)
+            (nb, nf) = _bucket_by_dest(dest, d_cat, (t_cat, o_cat), cap_u)
+            return (st, local_changes + ch1, nb[0], nb[1], nf)
+
+        buf_t = jnp.full((n_dev * cap_u,), -1, jnp.int32)
+        buf_o = jnp.full((n_dev * cap_u,), -1, jnp.int32)
+        buf_d = jnp.full((n_dev * cap_u,), jnp.inf, jnp.float32)
+        state, local_changes, buf_t, buf_o, buf_d = jax.lax.fori_loop(
+            0, n_blocks, emit_block,
+            (state, jnp.int32(0), buf_t, buf_o, buf_d),
+        )
+
+        # ---- update exchange (all_to_all #3) + local apply ----
+        rx_t = a2a_i(buf_t)
+        rx_o = a2a_i(buf_o)
+        rx_d = jax.lax.all_to_all(buf_d, axis_name, 0, 0, tiled=True)
+        rok = rx_t >= 0
+        lt = jnp.where(rok, rx_t - me * s, -1)
+        m_apply = min(4 * k, 96)
+        tables, _ = _group_topc(
+            lt, s, jnp.where(rok, rx_d, jnp.inf), (rx_o, rx_d.view(jnp.int32)), m_apply
+        )
+        o_tab, dbits_tab = tables
+        d_tab = jnp.where(o_tab >= 0, dbits_tab.view(jnp.float32), jnp.inf)
+        merged, n_changed = merge_candidates(
+            NeighborState(state.idx, state.dist, state.flag), o_tab, d_tab
+        )
+        changes = jax.lax.psum(n_changed + local_changes, axis_name)
+        return merged, changes
+
+    stop_count = jnp.float32(delta * k * n)
+
+    def program(X_shard, key, forest_args):
+        state = make_neighbor_state(s, k)
+        if forest_args is not None:
+            orders, starts, sizes, invs = forest_args
+
+            def tree_body(t, st):
+                return tree_init_shard(
+                    X_shard, st, orders[t], starts[t], sizes[t], invs[t]
+                )
+
+            state = jax.lax.fori_loop(0, orders.shape[0], tree_body, state)
+        state = random_init_shard(
+            X_shard, state, rng.derive(key, rng.ROLE_DESCENT_INIT)
+        )
 
         def cond(carry):
             st, it, changes = carry
@@ -445,16 +620,28 @@ def _sharded_data_nn_descent(
         )
         return sort_by_distance(state.idx, state.dist)
 
-    forest_dev = None
-    in_specs = (spec_x, spec_rep)
+    forest_args = None
     if forest is not None:
-        forest_dev = tuple(jnp.asarray(f) for f in forest)
+        orders, starts, sizes = (jnp.asarray(f) for f in forest)
+        npts = orders.shape[1]
+        trow = jnp.arange(orders.shape[0], dtype=jnp.int32)[:, None]
+        invs = (
+            jnp.zeros(orders.shape, jnp.int32)
+            .at[trow, orders]
+            .set(
+                jnp.broadcast_to(
+                    jnp.arange(npts, dtype=jnp.int32)[None], orders.shape
+                ),
+                unique_indices=True,
+            )
+        )
+        forest_args = (orders, starts, sizes, invs)
 
     fn = shard_map(
-        program,
+        functools.partial(program, forest_args=forest_args),
         mesh=mesh,
-        in_specs=in_specs,
-        out_specs=(spec_rep, spec_rep),
+        in_specs=(spec_x, spec_rep),
+        out_specs=(spec_x, spec_x),
         check_vma=False,
     )
     idx, dist = jax.jit(fn)(X, key)

@@ -75,3 +75,41 @@ def test_query_determinism(nn_data):
     r2 = i2.query(queries, k=5)
     np.testing.assert_array_equal(r1[0], r2[0])
     np.testing.assert_allclose(r1[1], r2[1])
+
+
+def test_hub_heavy_reverse_diversify():
+    """A point with extreme in-degree (a star hub inside a shell: the center
+    is in nearly every point's kNN) must not collapse under the reverse
+    transpose cap (reverse diversify truncates the transposed graph at
+    rev_cap, models/nndescent.py; the reference diversifies the full
+    transpose, pynndescent_.py:1549-1586). Search recall must hold and the
+    hub's own neighbors must stay findable."""
+    rs = np.random.RandomState(11)
+    # 32-D shell: random directions are near-orthogonal, so inter-shell
+    # distances are ~sqrt(2) while every point sits at distance 1 from the
+    # center — the center is everyone's true nearest neighbor
+    shell = rs.randn(799, 32).astype(np.float32)
+    shell /= np.linalg.norm(shell, axis=1, keepdims=True)
+    data = np.vstack([np.zeros((1, 32), np.float32), shell])
+    k = 10
+    index = NNDescent(data, n_neighbors=k, random_state=42)
+    idx, _ = index.neighbor_graph
+    idx = np.asarray(idx)
+    # the center (id 0) really is a global hub in the built graph
+    in_degree_0 = int(np.sum(idx[1:] == 0))
+    assert in_degree_0 > 4 * k, f"center in-degree only {in_degree_0}"
+    # queries near the shell: the only well-separated true neighbors are the
+    # originating shell point (d=0.05) and the center (d=1.05) — the rest
+    # are ~sqrt(2)-distance near-ties, meaningless for a recall criterion.
+    # Both must be found despite the rev_cap truncation of the center's
+    # enormous reverse list.
+    queries = shell[:100] * 1.05
+    qidx, _ = index.query(queries, k=k, epsilon=0.2)
+    qidx = np.asarray(qidx)
+    found_self = np.mean([(i + 1) in qidx[i] for i in range(100)])
+    found_center = np.mean([0 in qidx[i] for i in range(100)])
+    assert found_self >= 0.95, f"shell self-neighbor found {found_self}"
+    assert found_center >= 0.95, f"hub center found {found_center}"
+    # a query at the center itself must find the center
+    cidx, _ = index.query(np.zeros((1, 32), np.float32), k=5, epsilon=0.2)
+    assert 0 in np.asarray(cidx)[0]

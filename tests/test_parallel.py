@@ -151,6 +151,48 @@ def test_2d_mesh_build_and_search(nn_data):
     assert recall >= 0.9, f"2-D mesh build recall {recall}"
 
 
+def test_sharded_search_recall_matches_single(nn_data):
+    """sharded_search must deliver the same recall as the single-device
+    search on the same index and key — not just matching shapes."""
+    from sklearn.neighbors import NearestNeighbors
+
+    from pynndescent_tpu.models import search as search_ops
+    from pynndescent_tpu.ops import nndescent as nnd_ops
+    from pynndescent_tpu.parallel import make_mesh, sharded_search
+    from pynndescent_tpu.utils import rng
+
+    data = nn_data[:800]
+    k = 8
+    key = rng.state_from_seed(2)
+    idx, _ = nnd_ops.nn_descent(data, k, key, n_iters=5, metric="sqeuclidean")
+    adj = np.asarray(idx)
+    queries = nn_data[800:864]
+    dr = nnd_ops._resolve_rowwise_metric("sqeuclidean", None)
+    mesh = make_mesh(8)
+    qkey = rng.derive(key, 9)
+    qidx, _ = sharded_search(
+        queries, data, adj, None, qkey, mesh, k=k, epsilon=0.2, dist_rowwise=dr
+    )
+    import jax.numpy as jnp
+
+    sidx, _ = search_ops.search(
+        jnp.asarray(queries), jnp.asarray(data), jnp.asarray(adj), None, qkey,
+        k=k, epsilon=0.2, min_distance=0.0, dist_rowwise=dr,
+        batch_size=len(queries),
+    )
+    qidx, sidx = np.asarray(qidx), np.asarray(sidx)
+    nn = NearestNeighbors(n_neighbors=k).fit(data)
+    true_idx = nn.kneighbors(queries, k, return_distance=False)
+    rec_sharded = np.mean(
+        [len(np.intersect1d(qidx[i], true_idx[i])) / k for i in range(len(queries))]
+    )
+    rec_single = np.mean(
+        [len(np.intersect1d(sidx[i], true_idx[i])) / k for i in range(len(queries))]
+    )
+    assert rec_sharded >= 0.9, f"sharded search recall {rec_sharded}"
+    assert rec_sharded >= rec_single - 0.02, (rec_sharded, rec_single)
+
+
 def test_graft_entry_compiles():
     import sys
 
