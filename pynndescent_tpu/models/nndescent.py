@@ -941,6 +941,111 @@ class NNDescent:
         state["_key"] = np.asarray(self._key)
         return state
 
+    def save(self, path):
+        """Array-native checkpoint: ONE ``.npz`` holding every flat array of
+        the prepared index plus a JSON config blob — no pickle bytecode
+        (loadable across Python versions, safe to inspect). On TPU the index
+        already IS flat arrays (graphs, trees, codebooks — SURVEY §5), so
+        this is the natural serialization; the reference only offers pickle
+        (pynndescent_.py:1306-1331).
+
+        Callable (custom-function) metrics cannot be serialized this way —
+        use pickle for those.
+        """
+        import json
+
+        if callable(self.metric):
+            raise ValueError(
+                "save() supports registry (string) metrics; use pickle for "
+                "callable metrics"
+            )
+        state = self.__getstate__()
+        arrays = {}
+        meta = {}
+
+        def put(prefix, obj):
+            for kk, vv in obj.items():
+                key = f"{prefix}{kk}"
+                if isinstance(vv, dict):
+                    meta[key] = ["__dict__"]
+                    put(key + "/", vv)
+                elif isinstance(vv, (np.ndarray, jnp.ndarray)):
+                    arrays[key] = np.asarray(vv)
+                elif vv is None or isinstance(vv, (bool, int, float, str)):
+                    meta[key] = ["__val__", vv]
+                elif isinstance(vv, (list, tuple)) and all(
+                    x is None or isinstance(x, (bool, int, float, str)) for x in vv
+                ):
+                    meta[key] = [
+                        "__tuple__" if isinstance(vv, tuple) else "__list__",
+                        list(vv),
+                    ]
+                elif isinstance(vv, tuple) and all(
+                    isinstance(x, (np.ndarray, jnp.ndarray)) for x in vv
+                ):
+                    meta[key] = ["__arrtuple__", len(vv)]
+                    for i, x in enumerate(vv):
+                        arrays[f"{key}/__t{i}"] = np.asarray(x)
+                elif isinstance(vv, np.random.RandomState):
+                    meta[key] = ["__drop__"]  # _root_seed already captured
+                elif isinstance(vv, (np.integer, np.floating, np.bool_)):
+                    meta[key] = ["__val__", vv.item()]
+                elif callable(vv):
+                    meta[key] = ["__rebuild__"]  # re-derived from config
+                else:
+                    raise TypeError(
+                        f"cannot checkpoint attribute {key!r} of type {type(vv)}"
+                    )
+
+        put("", state)
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load(cls, path):
+        """Load an index checkpointed with :meth:`save`."""
+        import json
+
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+            arrays = {k: z[k] for k in z.files if k != "__meta__"}
+
+        def build(prefix):
+            out = {}
+            plen = len(prefix)
+            for key, tag in meta.items():
+                if not key.startswith(prefix) or "/" in key[plen:]:
+                    continue
+                name = key[plen:]
+                if tag[0] == "__dict__":
+                    out[name] = build(key + "/")
+                elif tag[0] == "__val__":
+                    out[name] = tag[1]
+                elif tag[0] == "__tuple__":
+                    out[name] = tuple(tag[1])
+                elif tag[0] == "__list__":
+                    out[name] = tag[1]
+                elif tag[0] == "__arrtuple__":
+                    out[name] = tuple(
+                        arrays[f"{key}/__t{i}"] for i in range(tag[1])
+                    )
+                elif tag[0] in ("__drop__", "__rebuild__"):
+                    out[name] = None
+            for key, arr in arrays.items():
+                if key.startswith(prefix) and "/" not in key[plen:]:
+                    out[key[plen:]] = arr
+            return out
+
+        state = build("")
+        obj = cls.__new__(cls)
+        obj.__setstate__(state)
+        # re-derive the jit-closure attributes the blob could not carry
+        if getattr(obj, "_ell", None) is None:
+            obj._set_distance_func()
+        return obj
+
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._X = jnp.asarray(self._raw_data)

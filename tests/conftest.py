@@ -64,6 +64,13 @@ SLOW_TESTS = {
     "test_angular_hub_tree_query_recall",
     "test_sparse_hub_tree_query_recall",
     "test_bit_hub_tree_query_recall",
+    "test_n_search_trees_selection",  # scoring covered by the unit tests
+    # round-3 feature heavies — quick tier keeps test_connect_graph, the
+    # exact-anchor unit test and the 8-device shard-equivalence checks
+    "test_hub_heavy_reverse_diversify",
+    "test_connect_graph_exact_min_edge",
+    "test_sharded_search_recall_matches_single",
+    "test_quantized_pickle_roundtrip",  # uint8/uint4 query tests remain quick
     # api — keep transformer_sklearn_pipeline + quantized pickle
     "test_update_with_fresh_data",
     "test_update_with_changed_data",

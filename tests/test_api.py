@@ -296,3 +296,28 @@ def test_transformer_verbose_output(small_data, capsys):
     assert "NN descent" in capsys.readouterr().out
     PyNNDescentTransformer(n_neighbors=3, random_state=1, verbose=False).fit(small_data)
     assert capsys.readouterr().out == ""
+
+
+def test_npz_save_load_roundtrip(tmp_path, nn_data):
+    """Array-native .npz checkpoint: identical query results after a
+    load in a pickle-free format (save/load beyond the reference's
+    pickle-only persistence, pynndescent_.py:1306-1331)."""
+    train = nn_data[200:]
+    queries = nn_data[:50]
+    index = NNDescent(train, n_neighbors=10, random_state=42)
+    r1 = index.query(queries, k=5, epsilon=0.2)
+    path = str(tmp_path / "index.npz")
+    index.save(path)
+    loaded = NNDescent.load(path)
+    r2 = loaded.query(queries, k=5, epsilon=0.2)
+    np.testing.assert_array_equal(np.asarray(r1[0]), np.asarray(r2[0]))
+    np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]), rtol=1e-6)
+    # callable metrics are pickle-only, stated loudly
+    import pytest as _pytest
+
+    def mymetric(a, b):
+        return ((a - b) ** 2).sum(-1)
+
+    idx2 = NNDescent(train[:300], metric=mymetric, n_neighbors=5, random_state=1)
+    with _pytest.raises(ValueError):
+        idx2.save(str(tmp_path / "x.npz"))
