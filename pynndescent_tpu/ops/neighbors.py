@@ -49,18 +49,35 @@ def make_neighbor_state(n: int, k: int) -> NeighborState:
     )
 
 
+# Stable 2-key dedup sort: keys (id, dist_bits) with a stable sort replace
+# the 3-key (id, dist, age) sort. Non-negative float distances (incl. +inf)
+# bitcast to int32 order-preservingly, and the age tie-break is exactly what
+# stability gives for free: incumbents precede candidates in the
+# concatenated operand, and two incumbents never share an id. Semantically
+# identical (test_neighbors asserts it); OFF until measured faster on TPU
+# (XLA lowers stable sorts with an extra hidden iota operand).
+DEDUP_STABLE = False
+
+
 def _dedup_keys(idx, dist, age):
-    """Sort by (idx, dist, age); mark any entry whose id equals its left
+    """Sort by (idx, dist[, age]); mark any entry whose id equals its left
     neighbor's id as a duplicate. Invalid ids (<0) are pushed to the end.
 
     The age (2 bits) is packed into the id operand — TPU sort compile cost
     grows steeply with operand count, and ties in (id, dist) resolve by age
-    through the packed key's low bits. Caps ids at 2^29 (~536M points)."""
+    (exact ties prefer the incumbent). Caps ids at 2^29 (~536M points)."""
     combined = idx * 4 + age
     sort_id = jnp.where(idx < 0, INT32_MAX, idx)
-    s_id, s_dist, s_comb = jax.lax.sort(
-        (sort_id, dist, combined), num_keys=3, dimension=-1
-    )
+    if DEDUP_STABLE:
+        bits = jax.lax.bitcast_convert_type(dist, jnp.int32)
+        s_id, s_bits, s_comb = jax.lax.sort(
+            (sort_id, bits, combined), num_keys=2, dimension=-1, is_stable=True
+        )
+        s_dist = jax.lax.bitcast_convert_type(s_bits, jnp.float32)
+    else:
+        s_id, s_dist, s_comb = jax.lax.sort(
+            (sort_id, dist, combined), num_keys=3, dimension=-1
+        )
     dup = jnp.concatenate(
         [jnp.zeros(s_id.shape[:-1] + (1,), bool), s_id[..., 1:] == s_id[..., :-1]],
         axis=-1,

@@ -186,6 +186,64 @@ def sharded_nn_descent(
 # ---------------------------------------------------------------------------
 
 
+def bucket_by_dest(dest, sort_key, ints, cap, n_dev):
+    """Route flat tuples to fixed [n_dev*cap] buckets: per destination keep
+    the ``cap`` entries with smallest sort_key (iid-uniform keys = a uniform
+    subsample; distance keys = best-first). Overflow and invalid entries
+    (dest >= n_dev) route out of bounds and are dropped.
+
+    Returns ``([int payload buckets...], float key bucket)``; empty slots
+    hold -1 / inf."""
+    E = dest.shape[0]
+    ops = (dest, sort_key) + tuple(ints)
+    sorted_ops = jax.lax.sort(ops, num_keys=2)
+    d_s, k_s = sorted_ops[0], sorted_ops[1]
+    ints_s = sorted_ops[2:]
+    posn = jnp.arange(E, dtype=jnp.int32)
+    is_head = jnp.concatenate([jnp.ones((1,), bool), d_s[1:] != d_s[:-1]])
+    gstart = jax.lax.cummax(jnp.where(is_head, posn, -1))
+    rank = posn - gstart
+    keep = (rank < cap) & (d_s < n_dev)
+    slot = jnp.where(keep, d_s * cap + rank, n_dev * cap)  # oob -> drop
+    out_i = [
+        jnp.full((n_dev * cap,), -1, jnp.int32)
+        .at[slot]
+        .set(v, mode="drop", unique_indices=True)
+        for v in ints_s
+    ]
+    out_f = (
+        jnp.full((n_dev * cap,), jnp.inf, jnp.float32)
+        .at[slot]
+        .set(k_s, mode="drop", unique_indices=True)
+    )
+    return out_i, out_f
+
+
+def group_topc(gkey, n_groups, sort_key, ints, cap):
+    """Per group key in [0, n_groups), keep the ``cap`` smallest sort_key
+    entries; returns per-group [n_groups, cap] tables (-1 pad) plus the
+    kept mask aligned with the sort order inputs."""
+    E = gkey.shape[0]
+    ops = (gkey, sort_key) + tuple(ints)
+    sorted_ops = jax.lax.sort(ops, num_keys=2)
+    g_s = sorted_ops[0]
+    ints_s = sorted_ops[2:]
+    posn = jnp.arange(E, dtype=jnp.int32)
+    is_head = jnp.concatenate([jnp.ones((1,), bool), g_s[1:] != g_s[:-1]])
+    gstart = jax.lax.cummax(jnp.where(is_head, posn, -1))
+    rank = posn - gstart
+    keep = (rank < cap) & (g_s >= 0) & (g_s < n_groups)
+    slot = jnp.where(keep, g_s * cap + rank, n_groups * cap)
+    tables = [
+        jnp.full((n_groups * cap,), -1, jnp.int32)
+        .at[slot]
+        .set(v, mode="drop", unique_indices=True)
+        .reshape(n_groups, cap)
+        for v in ints_s
+    ]
+    return tables, (g_s, rank, keep, ints_s)
+
+
 def _ring_gather_rows(X_shard, ids, axis_name, n_dev, shard_size):
     """Gather global rows ``ids`` from a row-sharded X by circulating the
     shards around the ring (ppermute): per step, each device picks out the
@@ -295,57 +353,10 @@ def _sharded_data_nn_descent(
         return jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
 
     def _bucket_by_dest(dest, sort_key, ints, cap):
-        """Route flat tuples to fixed [n_dev*cap, w] buckets: per dest keep
-        the cap entries with smallest sort_key (iid-uniform keys = a uniform
-        subsample; distance keys = best-first). Overflow and invalid
-        entries (dest >= n_dev) route out of bounds and are dropped."""
-        E = dest.shape[0]
-        ops = (dest, sort_key) + tuple(ints)
-        sorted_ops = jax.lax.sort(ops, num_keys=2)
-        d_s, k_s = sorted_ops[0], sorted_ops[1]
-        ints_s = sorted_ops[2:]
-        posn = jnp.arange(E, dtype=jnp.int32)
-        is_head = jnp.concatenate([jnp.ones((1,), bool), d_s[1:] != d_s[:-1]])
-        gstart = jax.lax.cummax(jnp.where(is_head, posn, -1))
-        rank = posn - gstart
-        keep = (rank < cap) & (d_s < n_dev)
-        slot = jnp.where(keep, d_s * cap + rank, n_dev * cap)  # oob -> drop
-        out_i = [
-            jnp.full((n_dev * cap,), -1, jnp.int32)
-            .at[slot]
-            .set(v, mode="drop", unique_indices=True)
-            for v in ints_s
-        ]
-        out_f = (
-            jnp.full((n_dev * cap,), jnp.inf, jnp.float32)
-            .at[slot]
-            .set(k_s, mode="drop", unique_indices=True)
-        )
-        return out_i, out_f
+        return bucket_by_dest(dest, sort_key, ints, cap, n_dev)
 
     def _group_topc(gkey, n_groups, sort_key, ints, cap):
-        """Per contiguous group key in [0, n_groups), keep the cap smallest
-        sort_key entries; returns per-group [n_groups, cap] tables (-1 pad)
-        plus the kept mask aligned with the sort order inputs."""
-        E = gkey.shape[0]
-        ops = (gkey, sort_key) + tuple(ints)
-        sorted_ops = jax.lax.sort(ops, num_keys=2)
-        g_s = sorted_ops[0]
-        ints_s = sorted_ops[2:]
-        posn = jnp.arange(E, dtype=jnp.int32)
-        is_head = jnp.concatenate([jnp.ones((1,), bool), g_s[1:] != g_s[:-1]])
-        gstart = jax.lax.cummax(jnp.where(is_head, posn, -1))
-        rank = posn - gstart
-        keep = (rank < cap) & (g_s >= 0) & (g_s < n_groups)
-        slot = jnp.where(keep, g_s * cap + rank, n_groups * cap)
-        tables = [
-            jnp.full((n_groups * cap,), -1, jnp.int32)
-            .at[slot]
-            .set(v, mode="drop", unique_indices=True)
-            .reshape(n_groups, cap)
-            for v in ints_s
-        ]
-        return tables, (g_s, rank, keep, ints_s)
+        return group_topc(gkey, n_groups, sort_key, ints, cap)
 
     def _local_merge_block(st, rows_local, cand, dmat):
         row_state = NeighborState(

@@ -1,5 +1,6 @@
 """Neighbor-state merge invariants (the heap-replacement layer)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,3 +75,37 @@ def test_sort_by_distance_invalid_last():
     s_idx, s_dist = sort_by_distance(idx, dist)
     np.testing.assert_array_equal(np.asarray(s_idx), [[5, 3, -1]])
     assert np.isinf(np.asarray(s_dist)[0, 2])
+
+
+def test_dedup_stable_variant_semantics_identical():
+    """The 2-key stable dedup sort must produce identical merges to the
+    3-key (id, dist, age) sort — incl. exact ties and duplicates."""
+    import pynndescent_tpu.ops.neighbors as nb
+
+    rs = np.random.RandomState(7)
+    n, k, m = 64, 8, 24
+    idx = rs.randint(0, 40, (n, k)).astype(np.int32)  # forced duplicate ids
+    dist = np.round(rs.uniform(0, 4, (n, k)), 1).astype(np.float32)  # forced ties
+    flag = rs.rand(n, k) < 0.5
+    order = np.argsort(dist, 1)
+    state = nb.NeighborState(
+        jnp.asarray(np.take_along_axis(idx, order, 1)),
+        jnp.asarray(np.take_along_axis(dist, order, 1)),
+        jnp.asarray(np.take_along_axis(flag, order, 1)),
+    )
+    cand = jnp.asarray(rs.randint(-1, 40, (n, m)).astype(np.int32))
+    cd = jnp.asarray(np.round(rs.uniform(0, 4, (n, m)), 1).astype(np.float32))
+    outs = []
+    old = nb.DEDUP_STABLE
+    try:
+        for mode in (False, True):
+            nb.DEDUP_STABLE = mode
+            merged, ch = jax.jit(nb.merge_candidates)(state, cand, cd)
+            outs.append((np.asarray(merged.idx), np.asarray(merged.dist),
+                         np.asarray(merged.flag), int(ch)))
+    finally:
+        nb.DEDUP_STABLE = old
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    np.testing.assert_array_equal(outs[0][2], outs[1][2])
+    assert outs[0][3] == outs[1][3]

@@ -211,3 +211,50 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_bucket_by_dest_exact_small_keys():
+    """bucket_by_dest keeps, per destination, exactly the cap smallest-key
+    entries, drops overflow/invalid, and never duplicates a slot."""
+    import jax.numpy as jnp
+
+    from pynndescent_tpu.parallel.mesh import bucket_by_dest
+
+    rs = np.random.RandomState(0)
+    E, n_dev, cap = 500, 4, 8
+    dest = rs.randint(0, n_dev + 1, E).astype(np.int32)  # n_dev = invalid
+    key = rs.uniform(0, 1, E).astype(np.float32)
+    payload = np.arange(E, dtype=np.int32)
+    (out_p,), out_k = bucket_by_dest(
+        jnp.asarray(dest), jnp.asarray(key), (jnp.asarray(payload),), cap, n_dev
+    )
+    out_p, out_k = np.asarray(out_p).reshape(n_dev, cap), np.asarray(out_k).reshape(n_dev, cap)
+    for dev in range(n_dev):
+        members = np.nonzero(dest == dev)[0]
+        expect = set(members[np.argsort(key[members], kind="stable")[:cap]])
+        got = set(out_p[dev][out_p[dev] >= 0])
+        assert got == expect, (dev, got, expect)
+        # float keys line up with payloads
+        for slotpos in range(cap):
+            if out_p[dev, slotpos] >= 0:
+                assert out_k[dev, slotpos] == key[out_p[dev, slotpos]]
+
+
+def test_group_topc_exact():
+    from pynndescent_tpu.parallel.mesh import group_topc
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(1)
+    E, n_groups, cap = 400, 16, 4
+    gkey = rs.randint(-1, n_groups, E).astype(np.int32)  # -1 = invalid
+    key = rs.uniform(0, 1, E).astype(np.float32)
+    payload = np.arange(E, dtype=np.int32)
+    (tab,), _ = group_topc(
+        jnp.asarray(gkey), n_groups, jnp.asarray(key), (jnp.asarray(payload),), cap
+    )
+    tab = np.asarray(tab)
+    for g in range(n_groups):
+        members = np.nonzero(gkey == g)[0]
+        expect = set(members[np.argsort(key[members], kind="stable")[:cap]])
+        got = set(tab[g][tab[g] >= 0])
+        assert got == expect, (g, got, expect)
