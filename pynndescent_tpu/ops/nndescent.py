@@ -601,6 +601,7 @@ def _pallas_init_ok(metric, metric_kwds, X, leaf_cap: int) -> bool:
         and metric in PI.PALLAS_INIT_METRICS
         and not metric_kwds
         and X.dtype == jnp.float32
+        and X.shape[1] <= 512  # Mosaic compile fails on very wide tiles
         and _pallas_init_max_leaves(X.shape[0], leaf_cap) is not None
         and jax.default_backend() in ("tpu", "axon")
     )
@@ -701,11 +702,18 @@ def nn_descent(
     dist_rowwise = _resolve_rowwise_metric(metric, metric_kwds)
     if leaf_cap is None:
         leaf_cap = 64
-    # large-n HBM headroom: the join's [b, P, d] candidate tile is the peak
-    # allocation; at 1M-row scale the rest of the build (X, state, tables)
-    # already holds ~1 GB, so halve the block to keep total peak bounded
-    if n > (1 << 19):
-        block_rows = min(block_rows, 4096)
+    # Bound the join's [b, P, d] candidate tile — the build's peak
+    # allocation — to ~1.5 GB regardless of feature width (at d=784 the
+    # default 8192-row block would be an 8 GB tile), and halve it again at
+    # 1M-row scale where X/state/tables already hold ~1 GB of a shared chip.
+    t_nn_est = max(1, (hop2_new_samples + 1) // 2)
+    t_no_est = max(0, hop2_new_samples - t_nn_est)
+    pool_w = 2 * max_candidates * (1 + t_nn_est + t_no_est + hop2_old_samples)
+    d_bytes = int(np.prod(X.shape[1:])) * X.dtype.itemsize
+    tile_budget = 3 << 28 if n > (1 << 19) else (3 << 29)
+    block_rows = int(
+        max(512, min(block_rows, tile_budget // max(pool_w * d_bytes, 1)))
+    )
 
     if (
         compute_dtype is not None
@@ -739,16 +747,23 @@ def nn_descent(
         if use_pallas:
             # the per-tree candidate stack is [T, n, cap] x 8 bytes; at large
             # n process the forest in tree chunks to bound it at ~3 GB
-            chunk = int(max(1, min(T, (3 << 30) // max(n * 64 * 8, 1))))
-            for t0 in range(0, T, chunk):
-                state = pallas_forest_init(
-                    state, X_join,
-                    orders[t0 : t0 + chunk],
-                    starts[t0 : t0 + chunk],
-                    sizes[t0 : t0 + chunk],
-                    metric=metric, leaf_cap=leaf_cap,
-                )
-        else:
+            try:
+                chunk = int(max(1, min(T, (3 << 30) // max(n * 64 * 8, 1))))
+                for t0 in range(0, T, chunk):
+                    state = pallas_forest_init(
+                        state, X_join,
+                        orders[t0 : t0 + chunk],
+                        starts[t0 : t0 + chunk],
+                        sizes[t0 : t0 + chunk],
+                        metric=metric, leaf_cap=leaf_cap,
+                    )
+            except Exception:
+                # Mosaic compile/runtime failure on an unusual shape: the
+                # XLA gather init computes the identical merge
+                if init_kernel == "pallas":
+                    raise
+                use_pallas = False
+        if not use_pallas:
             d_bytes = int(np.prod(X.shape[1:])) * X.dtype.itemsize
             # bound the gathered [b, T*cap, d] candidate tile to ~4 GB; row
             # gathers run several times faster at wide blocks, so prefer the
@@ -759,9 +774,10 @@ def nn_descent(
                 dist_rowwise=dist_rowwise, leaf_cap=leaf_cap,
                 block_rows=init_block,
             )
+    rand_block = int(max(1024, min(65536, (1 << 30) // max((k + 1) * d_bytes, 1))))
     state = _jit_init_random(
         state, X_join, rng.derive(key, rng.ROLE_DESCENT_INIT),
-        n_extra=k, dist_rowwise=dist_rowwise,
+        n_extra=k, dist_rowwise=dist_rowwise, block_rows=rand_block,
     )
 
     stop_count = delta * k * n
@@ -867,7 +883,9 @@ _jit_tree_init = jax.jit(
 _jit_forest_init = jax.jit(
     init_from_forest, static_argnames=("dist_rowwise", "leaf_cap", "block_rows")
 )
-_jit_init_random = jax.jit(init_random, static_argnames=("n_extra", "dist_rowwise"))
+_jit_init_random = jax.jit(
+    init_random, static_argnames=("n_extra", "dist_rowwise", "block_rows")
+)
 _jit_iteration = jax.jit(
     _descent_iteration,
     static_argnames=(
