@@ -116,6 +116,8 @@ class NNDescent:
         beam_width=None,
         search_dtype="bfloat16",
         build_dtype=None,
+        sparse_sketch="auto",
+        locality="auto",
     ):
         self.n_neighbors = n_neighbors
         self.metric = metric
@@ -141,6 +143,11 @@ class NNDescent:
         self.beam_width = beam_width
         self.search_dtype = search_dtype
         self.build_dtype = build_dtype
+        self.sparse_sketch = sparse_sketch
+        # tree-order windowed descent at large n (ops.nndescent locality
+        # phases): "auto" enables beyond 400k rows; None disables; a dict
+        # sets {"window", "phases", "phase_iters", "global_iters"}
+        self.locality = locality
 
         # dtype policy (reference pynndescent_.py:1041-1057): f32 C-order
         # dense (CSR densified — see ops.sparse), u8 for bit-packed metrics
@@ -148,19 +155,46 @@ class NNDescent:
 
         self._input_is_sparse = sparse_ops.is_sparse(data)
         self._ell = None
+        self._sketch = None
+        self._graph_exact = None
         if self._input_is_sparse:
             csr = data.tocsr()
             if csr.shape[1] > sparse_ops.DENSIFY_MAX_FEATURES:
-                # wide feature space: true sparse padded-ELL kernels
                 from pynndescent_tpu.ops import sparse_ell
+                from pynndescent_tpu.ops import sketch as sketch_ops
 
                 if metric == "dot":
                     from sklearn.preprocessing import normalize as _norm
 
                     csr = _norm(csr, norm="l2")
                 nnz_max = max(1, int(np.diff(csr.indptr).max()))
-                data = sparse_ell.csr_to_ell_packed(csr, nnz_max)
-                self._ell = {"nnz": nnz_max, "n_features": csr.shape[1]}
+                sk = (
+                    sketch_ops.resolve(sparse_sketch, metric, csr.shape[1])
+                    if quantization is None and isinstance(metric, str)
+                    else None
+                )
+                if sk is not None:
+                    # hashed-projection proxy build (ops/sketch.py): dense
+                    # MXU pipeline over the sketch; exact ELL rows kept for
+                    # reranking every distance the API returns
+                    self._ell_store = sparse_ell.csr_to_ell_packed(
+                        csr, nnz_max
+                    )
+                    self._sketch = {
+                        "h": sk["h"],
+                        "internal": sk["internal"],
+                        "binarize": sk["binarize"],
+                        "seed": 0x5EED,
+                        "nnz": nnz_max,
+                        "n_features": csr.shape[1],
+                    }
+                    data = sketch_ops.sketch_csr(
+                        csr, sk["h"], self._sketch["seed"], sk["binarize"]
+                    )
+                else:
+                    # wide feature space: true sparse padded-ELL kernels
+                    data = sparse_ell.csr_to_ell_packed(csr, nnz_max)
+                    self._ell = {"nnz": nnz_max, "n_features": csr.shape[1]}
             else:
                 data = sparse_ops.densify(data)
         self._is_bit = metric in ("bit_hamming", "bit_jaccard") or (
@@ -192,6 +226,15 @@ class NNDescent:
         self.max_candidates = max_candidates
         self.leaf_size = leaf_size
         self.n_trees_after_update = max(2, int(round(n_trees / 3)))
+        # sketch path: the hashed proxy's ordering is noisy near the top-k
+        # boundary, so the internal graph is built 2x wide and exact-reranked
+        # down to n_neighbors (the reference's proxy design over-fetches the
+        # same way at query time, pynndescent_.py:2309-2312)
+        self._build_k = (
+            min(max(n - 1, 1), 2 * n_neighbors)
+            if self._sketch is not None
+            else n_neighbors
+        )
 
         self._angular_trees = metric in _ANGULAR_METRICS or (
             callable(metric) and self.angular_trees
@@ -265,14 +308,14 @@ class NNDescent:
             if init_dist is None:
                 init_dist = self._bulk_self_distances(init_graph)
             init_state = state_from_graph(
-                jnp.asarray(init_graph), jnp.asarray(init_dist), k=n_neighbors
+                jnp.asarray(init_graph), jnp.asarray(init_dist), k=self._build_k
             )
 
         if verbose:
             print(_ts(), "NN descent for", n_iters, "iterations")
         idx, dist_internal = nnd_ops.nn_descent(
             self._X,
-            n_neighbors,
+            self._build_k,
             self._key,
             metric=self._internal_metric,
             metric_kwds=self._internal_metric_kwds,
@@ -284,6 +327,7 @@ class NNDescent:
             leaf_cap=min(leaf_size, 64),
             block_rows=block_rows,
             compute_dtype=jnp.bfloat16 if build_dtype == "bfloat16" else None,
+            locality=self.locality,
             verbose=verbose,
         )
         # keep the graph on device; host copies are materialized lazily on
@@ -326,21 +370,26 @@ class NNDescent:
         self._internal_metric = self._make_ell_closure(nnz, nnz)
         self._is_proxy = False
 
-    def _make_ell_closure(self, nnz_x, nnz_y):
+    def _make_ell_closure(self, nnz_x, nnz_y, name=None):
         """ELL metric closure for (x width, y width) packed operands; cached
-        so jitted stages see a stable static identity across calls."""
+        so jitted stages see a stable static identity across calls. ``name``
+        overrides the internal metric name (the sketch path reranks with the
+        TRUE metric, not the build-side alternative)."""
         from pynndescent_tpu.ops import sparse_ell
 
         cache = getattr(self, "_ell_metric_cache", None)
         if cache is None:
             cache = self._ell_metric_cache = {}
-        key = (self._ell_internal_name, nnz_x, nnz_y)
+        if name is None:
+            name = self._ell_internal_name
+        meta = self._ell if self._ell is not None else self._sketch
+        key = (name, nnz_x, nnz_y)
         if key not in cache:
             cache[key] = sparse_ell.make_ell_metric(
-                self._ell_internal_name,
+                name,
                 nnz_x,
                 nnz_y,
-                n_features=self._ell["n_features"],
+                n_features=meta["n_features"],
                 **self.metric_kwds,
             )
         return cache[key]
@@ -353,6 +402,11 @@ class NNDescent:
         self._internal_metric_kwds = self.metric_kwds
         self._is_proxy = False
         self._true_metric = None
+        if getattr(self, "_sketch", None) is not None:
+            # hashed-sketch proxy: build/search under the dense metric of the
+            # sketch space; every returned distance is ELL-exact-reranked
+            metric = self._sketch["internal"]
+            self._internal_metric_kwds = {}
         if callable(metric):
             self._internal_metric = metric
         elif metric in dst.proxy_distances:
@@ -403,9 +457,48 @@ class NNDescent:
             return None
         self._maybe_warn_incomplete()
         idx, d = self._graph_host()
+        if self._sketch is not None:
+            return self._exact_graph()
         if self._distance_correction is not None:
             d = self._distance_correction(d)
         return idx, np.asarray(d)
+
+    def _ell_store_device(self):
+        dev = getattr(self, "_ell_store_dev", None)
+        if dev is None:
+            dev = self._ell_store_dev = to_device_chunked(self._ell_store)
+        return dev
+
+    def _exact_graph(self):
+        """Sketch path: the internal graph ranks by sketch distance over a
+        2x-overfetched candidate set (_build_k); the API-visible graph
+        reranks each row exactly from the packed ELL rows and keeps the
+        true top n_neighbors (one [n, k_build] pair pass — off the build
+        hot path)."""
+        if self._graph_exact is None:
+            idx, _ = self._graph_host()
+            nnz = self._sketch["nnz"]
+            fn = nnd_ops._resolve_rowwise_metric(
+                self._make_ell_closure(nnz, nnz, name=self.metric), None
+            )
+            ell = self._ell_store_device()
+            out_i, out_d = [], []
+            b = 16384
+            for s in range(0, idx.shape[0], b):
+                ri, rd = _jit_rerank(
+                    ell[s : s + b],
+                    jnp.asarray(idx[s : s + b]),
+                    ell,
+                    dist_rowwise=fn,
+                    k=min(self.n_neighbors, idx.shape[1]),
+                )
+                out_i.append(np.asarray(ri))
+                out_d.append(np.asarray(rd))
+            self._graph_exact = (
+                np.concatenate(out_i, 0),
+                np.concatenate(out_d, 0),
+            )
+        return self._graph_exact
 
     # ------------------------------------------------------------------
     # prepare: diversified, degree-pruned search graph + search tree
@@ -604,7 +697,37 @@ class NNDescent:
         from pynndescent_tpu.ops import sparse as sparse_ops
 
         ell_query_nnz = None
-        if sparse_ops.is_sparse(query_data):
+        sketch_q_ell = None
+        if self._sketch is not None:
+            if not sparse_ops.is_sparse(query_data):
+                raise ValueError(
+                    "this index was built on sparse data; queries must be "
+                    "scipy sparse matrices"
+                )
+            from pynndescent_tpu.ops import sparse_ell
+            from pynndescent_tpu.ops import sketch as sketch_ops
+
+            qcsr = query_data.tocsr()
+            if qcsr.shape[1] != self._sketch["n_features"]:
+                raise ValueError(
+                    f"query data has {qcsr.shape[1]} features but the "
+                    f"index was built with {self._sketch['n_features']}"
+                )
+            if self.metric == "dot":
+                from sklearn.preprocessing import normalize as _norm
+
+                qcsr = _norm(qcsr, norm="l2")
+            # exact rows packed at the queries' own width for the rerank;
+            # the search itself runs on the dense sketch of the queries
+            nnz = self._sketch["nnz"]
+            q_max = int(np.diff(qcsr.indptr).max(initial=1))
+            qnnz = nnz if q_max <= nnz else 1 << (q_max - 1).bit_length()
+            sketch_q_ell = (sparse_ell.csr_to_ell_packed(qcsr, qnnz), qnnz)
+            query_data = sketch_ops.sketch_csr(
+                qcsr, self._sketch["h"], self._sketch["seed"],
+                self._sketch["binarize"],
+            )
+        elif sparse_ops.is_sparse(query_data):
             if self._ell is not None:
                 from pynndescent_tpu.ops import sparse_ell
 
@@ -654,7 +777,11 @@ class NNDescent:
             q = q / np.where(norms == 0.0, 1.0, norms)
 
         use_bf16 = getattr(self, "_X_search", None) is not None and not self._is_bit
-        is_proxy = self._is_proxy or self._quantized is not None
+        is_proxy = (
+            self._is_proxy
+            or self._quantized is not None
+            or self._sketch is not None
+        )
         if is_proxy:
             search_k = proxy_beam_size * k
         elif use_bf16 or self._ell is not None:
@@ -726,16 +853,33 @@ class NNDescent:
             return_device=rerank_needed,
         )
         if rerank_needed:
-            idx, d = self._rerank(q_dev, idx, k)
+            idx, d = self._rerank(q_dev, idx, k, ell_queries=sketch_q_ell)
         else:
             idx, d = idx[:, :k], d[:, :k]
             if self._distance_correction is not None:
                 d = self._distance_correction(d)
         return idx, d
 
-    def _rerank(self, queries, cand_idx, k):
+    def _rerank(self, queries, cand_idx, k, ell_queries=None):
         """Recompute true distances on the over-fetched candidate set and
         keep the top k (reference: rerank, pynndescent_.py:775-789)."""
+        if ell_queries is not None:
+            # sketch path: exact sparse rerank against the packed ELL rows
+            q_ell, qnnz = ell_queries
+            fn = nnd_ops._resolve_rowwise_metric(
+                self._make_ell_closure(
+                    qnnz, self._sketch["nnz"], name=self.metric
+                ),
+                None,
+            )
+            ridx, rd = _jit_rerank(
+                jnp.asarray(q_ell),
+                jnp.asarray(cand_idx),
+                self._ell_store_device(),
+                dist_rowwise=fn,
+                k=k,
+            )
+            return np.asarray(ridx), np.asarray(rd)
         true_metric = self._true_metric if self._is_proxy else None
         if true_metric is None:
             # quantized index: the true metric is the user's original metric
@@ -827,6 +971,59 @@ class NNDescent:
                     self._ell["nnz"] = new_nnz
                     self._set_ell_metric()
                 xs_fresh = sparse_ell.csr_to_ell_packed(fcsr, new_nnz)
+        elif self._sketch is not None:
+            # sketch path: append-only like the ELL path; fresh rows are
+            # ELL-packed into the exact store AND sketched into the dense
+            # build space
+            if xs_updated is not None:
+                raise NotImplementedError(
+                    "in-place updates are not supported on sparse indexes "
+                    "(reference pynndescent_.py:2412); append-only updates "
+                    "(xs_fresh) are"
+                )
+            if xs_fresh is not None:
+                from pynndescent_tpu.ops import sparse as sparse_ops
+                from pynndescent_tpu.ops import sparse_ell
+                from pynndescent_tpu.ops import sketch as sketch_ops
+
+                if not sparse_ops.is_sparse(xs_fresh):
+                    raise ValueError(
+                        "xs_fresh must be a scipy sparse matrix for an index "
+                        "built on sparse data"
+                    )
+                fcsr = xs_fresh.tocsr()
+                if fcsr.shape[1] != self._sketch["n_features"]:
+                    raise ValueError(
+                        f"xs_fresh has {fcsr.shape[1]} features but the index "
+                        f"was built with {self._sketch['n_features']}"
+                    )
+                _check_finite(fcsr.data, "xs_fresh")
+                if self.metric == "dot":
+                    from sklearn.preprocessing import normalize as _norm
+
+                    fcsr = _norm(fcsr, norm="l2")
+                new_nnz = max(
+                    self._sketch["nnz"],
+                    int(np.diff(fcsr.indptr).max(initial=1)),
+                )
+                if new_nnz > self._sketch["nnz"]:
+                    self._ell_store = np.asarray(
+                        sparse_ell.ell_repack(
+                            self._ell_store, self._sketch["nnz"], new_nnz
+                        )
+                    )
+                    self._sketch["nnz"] = new_nnz
+                self._ell_store = np.vstack(
+                    [
+                        np.asarray(self._ell_store),
+                        np.asarray(sparse_ell.csr_to_ell_packed(fcsr, new_nnz)),
+                    ]
+                )
+                self._ell_store_dev = None
+                xs_fresh = sketch_ops.sketch_csr(
+                    fcsr, self._sketch["h"], self._sketch["seed"],
+                    self._sketch["binarize"],
+                )
         data = self._raw_data
         idx, dist = self._graph_host()
         n_old, k = idx.shape
@@ -891,7 +1088,7 @@ class NNDescent:
         init_state = state_from_graph(jnp.asarray(idx), jnp.asarray(dist), k=k)
         new_idx, new_dist = nnd_ops.nn_descent(
             self._X,
-            self.n_neighbors,
+            getattr(self, "_build_k", self.n_neighbors),
             self._key,
             metric=self._internal_metric,
             metric_kwds=self._internal_metric_kwds,
@@ -907,6 +1104,7 @@ class NNDescent:
                 if getattr(self, "build_dtype", None) == "bfloat16"
                 else None
             ),
+            locality=getattr(self, "locality", None),
             verbose=self.verbose,
         )
         self._neighbor_graph = (new_idx, new_dist)
@@ -916,6 +1114,7 @@ class NNDescent:
         # rebuild the search structures lazily (reference :2537-2553)
         self._search_graph = None
         self._search_tree = None
+        self._graph_exact = None
 
     # ------------------------------------------------------------------
     # pickling (reference pynndescent_.py:1306-1331)
@@ -929,6 +1128,7 @@ class NNDescent:
         state["_X"] = None  # rebuilt from _raw_data
         state["_X_search"] = None
         state["_quantized_codes_dev"] = None
+        state.pop("_ell_store_dev", None)  # rebuilt lazily from _ell_store
         # local closures are not picklable; rebuilt in __setstate__ from the
         # stored mode/codebook/metric name (reference pickles by recompiling
         # its jitted closures the same way, pynndescent_.py:1322-1331)

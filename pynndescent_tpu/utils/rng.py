@@ -22,6 +22,7 @@ ROLE_DESCENT_ITER = 3
 ROLE_SEARCH = 4
 ROLE_UPDATE = 5
 ROLE_QUANTIZE = 6
+ROLE_DESCENT_LOCAL = 7
 
 
 def resolve_seed(seed) -> int:

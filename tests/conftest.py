@@ -71,6 +71,11 @@ SLOW_TESTS = {
     "test_connect_graph_exact_min_edge",
     "test_sharded_search_recall_matches_single",
     "test_quantized_pickle_roundtrip",  # uint8/uint4 query tests remain quick
+    # sketch — quick tier keeps resolve/hash units + the cosine end-to-end
+    # and the auto-fallback check
+    "test_sketch_jaccard_binarized",
+    "test_sketch_update_append",
+    "test_sketch_pickle_roundtrip",
     # api — keep transformer_sklearn_pipeline + quantized pickle
     "test_update_with_fresh_data",
     "test_update_with_changed_data",

@@ -168,7 +168,7 @@ def test_wide_sparse_ell_path():
     )
     vals = rs.uniform(0.1, 1.0, n * nnz).astype(np.float32)
     X = sparse.csr_matrix((vals, (rows, cols)), shape=(n, d))
-    index = NNDescent(X, n_neighbors=8, random_state=42)
+    index = NNDescent(X, n_neighbors=8, random_state=42, sparse_sketch=None)
     assert index._ell is not None  # ELL path actually taken
     idx, dist = index.neighbor_graph
     # oracle on densified data
@@ -204,7 +204,7 @@ def test_wide_sparse_ell_cosine():
     vals = rs.uniform(0.1, 1.0, n * nnz).astype(np.float32)
     X = sparse.csr_matrix((vals, (rows, cols)), shape=(n, d))
     X.sum_duplicates()
-    index = NNDescent(X, metric="cosine", n_neighbors=8, random_state=42)
+    index = NNDescent(X, metric="cosine", n_neighbors=8, random_state=42, sparse_sketch=None)
     assert index._ell is not None
     idx, _ = index.neighbor_graph
     dense = X.toarray()

@@ -196,7 +196,7 @@ def test_ell_tree_init_and_hub_search_tree():
     """Wide sparse builds now get RP-tree init and a hub search tree
     (previously random-init with no tree, VERDICT r1 missing #1)."""
     X = _clustered_wide_sparse(500, DENSIFY_MAX_FEATURES + 50, seed=1)
-    index = NNDescent(X, n_neighbors=10, random_state=42, n_trees=4)
+    index = NNDescent(X, n_neighbors=10, random_state=42, sparse_sketch=None, n_trees=4)
     assert index._ell is not None
     assert index.tree_init  # trees were built for ELL data
     index.prepare()
@@ -213,7 +213,7 @@ def test_ell_query_wider_than_train_rows():
     """Queries with more nonzeros than the train watermark are packed at
     their own width — never truncated (VERDICT r1 weak #4)."""
     X = _clustered_wide_sparse(400, DENSIFY_MAX_FEATURES + 10, seed=2)
-    index = NNDescent(X, n_neighbors=10, random_state=42, n_trees=3)
+    index = NNDescent(X, n_neighbors=10, random_state=42, sparse_sketch=None, n_trees=3)
     rs = np.random.RandomState(7)
     # noise triples the nonzero count (wider than the train watermark) but
     # stays small in magnitude — the test isolates the no-truncation
@@ -249,7 +249,7 @@ def test_ell_update_append():
     """Append-only update on the ELL path, including a width-raising batch
     (reference allows append-only sparse updates, pynndescent_.py:2412)."""
     X = _clustered_wide_sparse(300, DENSIFY_MAX_FEATURES + 20, seed=3)
-    index = NNDescent(X, n_neighbors=8, random_state=42, n_trees=3)
+    index = NNDescent(X, n_neighbors=8, random_state=42, sparse_sketch=None, n_trees=3)
     old_nnz = index._ell["nnz"]
     rs = np.random.RandomState(11)
     fresh = (
@@ -281,7 +281,7 @@ def test_ell_pickle_roundtrip():
     import pickle
 
     X = _clustered_wide_sparse(300, DENSIFY_MAX_FEATURES + 5, seed=4)
-    index = NNDescent(X, metric="cosine", n_neighbors=8, random_state=42, n_trees=3)
+    index = NNDescent(X, metric="cosine", n_neighbors=8, random_state=42, sparse_sketch=None, n_trees=3)
     index.prepare()
     blob = pickle.dumps(index)
     index2 = pickle.loads(blob)
@@ -294,6 +294,6 @@ def test_ell_pickle_roundtrip():
 
 def test_ell_dense_query_rejected():
     X = _clustered_wide_sparse(150, DENSIFY_MAX_FEATURES + 5, seed=5)
-    index = NNDescent(X, n_neighbors=5, random_state=42, n_trees=2)
+    index = NNDescent(X, n_neighbors=5, random_state=42, sparse_sketch=None, n_trees=2)
     with pytest.raises(ValueError, match="scipy sparse"):
         index.query(np.zeros((2, X.shape[1]), np.float32), k=3)
