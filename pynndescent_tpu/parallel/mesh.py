@@ -661,7 +661,7 @@ def _sharded_data_nn_descent(
 
 def sharded_search(queries, X, adj, tree, key, mesh, *, k, epsilon=0.1,
                    min_distance=0.0, beam_width=None, dist_rowwise=None,
-                   axis_name: str = "data"):
+                   axis_name: str = "data", per_device_batch: int = 8192):
     """Query search with the query batch sharded over the mesh (data-parallel
     serving: each device runs the beam loop on its query shard against the
     replicated index). On a 2-D mesh the queries shard over the *outer*
@@ -674,7 +674,6 @@ def sharded_search(queries, X, adj, tree, key, mesh, *, k, epsilon=0.1,
         qaxis = _data_axis(mesh, axis_name)
     replicated = NamedSharding(mesh, P())
     qshard = NamedSharding(mesh, P(qaxis, None))
-    queries = jax.device_put(jnp.asarray(queries), qshard)
     X = jax.device_put(jnp.asarray(X), replicated)
     adj = jax.device_put(jnp.asarray(adj), replicated)
     if tree is not None:
@@ -682,9 +681,36 @@ def sharded_search(queries, X, adj, tree, key, mesh, *, k, epsilon=0.1,
             kk: (jax.device_put(jnp.asarray(vv), replicated) if kk not in ("depth", "angular", "leaf_size") else vv)
             for kk, vv in tree.items()
         }
-    return search_ops.search(
-        queries, X, adj, tree, key,
-        k=k, epsilon=epsilon, min_distance=min_distance,
-        beam_width=beam_width, dist_rowwise=dist_rowwise,
-        batch_size=queries.shape[0],
-    )
+
+    # Blocked batching over query chunks of (n_dev * per_device_batch) rows:
+    # one chunk at a time is sharded onto the mesh, so per-device beam state
+    # stays bounded no matter how large the serving batch is. Tail chunks pad
+    # per-device rows up to a power-of-two bucket (compile reuse, same scheme
+    # as models.search). Padding rows are real rows replayed (row 0) — their
+    # results are sliced off, they only keep shard shapes equal.
+    queries = np.asarray(queries)
+    nq = queries.shape[0]
+    n_dev = int(mesh.shape[qaxis])
+    chunk = n_dev * int(per_device_batch)
+    out_idx, out_dist = [], []
+    for s in range(0, nq, chunk):
+        blk = queries[s : s + chunk]
+        rows = blk.shape[0]
+        if rows < chunk:
+            per = max(256, 1 << (-(-rows // n_dev) - 1).bit_length())
+            tgt = min(chunk, n_dev * per)
+            blk = np.concatenate(
+                [blk, np.broadcast_to(blk[:1], (tgt - rows,) + blk.shape[1:])], 0
+            )
+        blk = jax.device_put(jnp.asarray(blk), qshard)
+        bi, bd = search_ops.search(
+            blk, X, adj, tree, jax.random.fold_in(key, s),
+            k=k, epsilon=epsilon, min_distance=min_distance,
+            beam_width=beam_width, dist_rowwise=dist_rowwise,
+            batch_size=blk.shape[0],
+        )
+        out_idx.append(np.asarray(bi)[:rows])
+        out_dist.append(np.asarray(bd)[:rows])
+    if len(out_idx) == 1:
+        return out_idx[0], out_dist[0]
+    return np.concatenate(out_idx, 0), np.concatenate(out_dist, 0)

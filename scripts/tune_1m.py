@@ -37,6 +37,16 @@ CONFIGS = {
     "k20": {"k": 20},
     "k30": {"k": 30},
     "k20d4": {"k": 20, "delta": 1e-4},
+    # locality-windowed descent (ops/nndescent.py): None = full-table joins,
+    # "auto" = default windows at n >= 400k, dicts = explicit schedules
+    "noloc": {"locality": None},
+    "k20noloc": {"k": 20, "locality": None},
+    "loc128": {"locality": {"window": 131072}},
+    "loc64p3": {"locality": {"window": 65536, "phases": 3}},
+    "locg4": {"locality": {"window": 65536, "global_iters": 4}},
+    "k20loc": {"k": 20},  # locality auto-on at 1M
+    "k16loc": {"k": 16},
+    "k20locg4": {"k": 20, "locality": {"window": 65536, "global_iters": 4}},
 }
 
 

@@ -192,6 +192,19 @@ def test_sharded_search_recall_matches_single(nn_data):
     assert rec_sharded >= 0.9, f"sharded search recall {rec_sharded}"
     assert rec_sharded >= rec_single - 0.02, (rec_sharded, rec_single)
 
+    # blocked batching: a tiny per-device budget forces multiple sharded
+    # chunks plus a padded tail; results must keep the same recall
+    cidx, _ = sharded_search(
+        queries, data, adj, None, qkey, mesh, k=k, epsilon=0.2,
+        dist_rowwise=dr, per_device_batch=4,
+    )
+    cidx = np.asarray(cidx)
+    assert cidx.shape == (len(queries), k)
+    rec_chunked = np.mean(
+        [len(np.intersect1d(cidx[i], true_idx[i])) / k for i in range(len(queries))]
+    )
+    assert rec_chunked >= 0.9, f"chunked sharded search recall {rec_chunked}"
+
 
 def test_graft_entry_compiles():
     import sys
