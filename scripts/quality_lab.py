@@ -61,16 +61,25 @@ def main():
     print("forest ready", flush=True)
 
     for spec in specs:
+        # spec = k:c:h2n:h2o:iters[:reforest][:locW:locPhases:locIters:locGlobal]
         parts = [int(x) for x in spec.split(":")]
         k, c, h2n, h2o, iters = parts[:5]
         reforest = parts[5] if len(parts) > 5 else 0
+        locality = None
+        if len(parts) > 6:
+            locality = {
+                "window": parts[6],
+                "phases": parts[7] if len(parts) > 7 else 2,
+                "phase_iters": parts[8] if len(parts) > 8 else max(4, iters // 2),
+                "global_iters": parts[9] if len(parts) > 9 else 2,
+            }
         t0 = time.time()
         state = None
         idx, dist = nnd_ops.nn_descent(
             jnp.asarray(X), k, key,
             metric="euclidean", n_iters=iters, max_candidates=c,
             hop2_new_samples=h2n, hop2_old_samples=h2o,
-            forest=forest, block_rows=4096,
+            forest=forest, block_rows=4096, locality=locality,
         )
         if reforest:
             # second forest pass: fresh random trees re-seed the converged
