@@ -185,7 +185,15 @@ def run_1m_workload(NNDescent, n=1_000_000, nq=10_000, d=128, k=10,
     np.asarray(train[-1, -1])
 
     t0 = time.perf_counter()
-    index = NNDescent(train, n_neighbors=build_k, random_state=seed)
+    # schedule tuned on the cluster-density stall testbed (PERF_NOTES
+    # "locality-windowed descent quality"): k=20 + 2 windowed phases x 5
+    # iters + 2 global polish iters reaches graph recall ~0.97 at ~2/3 the
+    # default iteration count
+    index = NNDescent(
+        train, n_neighbors=build_k, random_state=seed, n_iters=10,
+        locality={"window": 65536, "phases": 2, "phase_iters": 5,
+                  "global_iters": 2},
+    )
     index.prepare()
     np.asarray(index._search_graph[-1, -1])
     build_s = time.perf_counter() - t0

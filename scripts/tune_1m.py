@@ -47,6 +47,17 @@ CONFIGS = {
     "k20loc": {"k": 20},  # locality auto-on at 1M
     "k16loc": {"k": 16},
     "k20locg4": {"k": 20, "locality": {"window": 65536, "global_iters": 4}},
+    # query-side: prune the k20-built search graph harder so beam gathers
+    # stay deg~20-15 wide (qps lever; recall comes from the k20 graph)
+    "k20p10": {"k": 20, "pruning_degree_multiplier": 1.0},
+    "k20p075": {"k": 20, "pruning_degree_multiplier": 0.75},
+    # cheaper locality schedules (validated on the CPU testbed)
+    "k20fast": {"k": 20, "n_iters": 10,
+                "locality": {"window": 65536, "phases": 2, "phase_iters": 5,
+                             "global_iters": 2}},
+    "k20fastp10": {"k": 20, "n_iters": 10, "pruning_degree_multiplier": 1.0,
+                   "locality": {"window": 65536, "phases": 2, "phase_iters": 5,
+                                "global_iters": 2}},
 }
 
 
