@@ -189,7 +189,7 @@ def run_1m_workload(NNDescent, n=1_000_000, nq=10_000, d=128, k=10,
     # "locality-windowed descent quality"): k=20 + 2 windowed phases x 5
     # iters + 2 global polish iters reaches graph recall ~0.97 at ~2/3 the
     # default iteration count
-    # beam_width=96 (vs the 2k default 40): on the stall testbed it lifts
+    # beam_width=96 (vs the default 48): on the stall testbed it lifts
     # query recall 0.945 -> 0.969 at eps 0.2 while the diversified graph
     # keeps deg_mean ~10 (so per-step gathers stay cheap; the wider beam
     # only widens the on-chip merge sort)
