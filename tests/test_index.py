@@ -77,6 +77,31 @@ def test_query_determinism(nn_data):
     np.testing.assert_allclose(r1[1], r2[1])
 
 
+def test_locality_windowed_descent_recall(nn_data):
+    """Tree-order locality-windowed descent (ops/nndescent.py ``locality``):
+    an explicit window far below n must still converge to the same recall
+    as the full-table join (the windowed phases + global polish design; at
+    n >= 400k this mode is the default via locality='auto'). Clustered data
+    like every ann-benchmarks dataset — tree-order slabs are only spatial
+    cells when the space HAS cells; on structureless uniform data the mode
+    is not the default at any n. Validated at depth on the CPU stall
+    testbed in PERF_NOTES (recall-POSITIVE at 30k x 128)."""
+    rs = np.random.RandomState(3)
+    centers = rs.randn(25, 32).astype(np.float32) * 4
+    train = (centers[rs.randint(0, 25, 1500)]
+             + rs.randn(1500, 32).astype(np.float32))
+    k = 10
+    index = NNDescent(
+        train, n_neighbors=k, random_state=42,
+        locality={"window": 256, "phases": 2, "phase_iters": 4, "global_iters": 3},
+    )
+    idx, _ = index.neighbor_graph
+    nn = NearestNeighbors(n_neighbors=k).fit(train)
+    true_idx = nn.kneighbors(train, k, return_distance=False)
+    recall = _recall(np.asarray(idx), true_idx)
+    assert recall >= 0.95, f"locality build recall {recall} < 0.95"
+
+
 def test_hub_heavy_reverse_diversify():
     """A point with extreme in-degree (a star hub inside a shell: the center
     is in nearly every point's kNN) must not collapse under the reverse
