@@ -425,10 +425,16 @@ def _descent_iteration(
     tbl_no = sample.hop_old[:, :t_no]
     tbl_on = sample.hop_new[:, :hop2_old_samples]
 
-    b = min(block_rows, n)
-    n_blocks = -(-n // b)
     n_x = X.shape[0]
     windowed = window_rows is not None and window_rows < n_x
+    b = min(block_rows, n)
+    if windowed:
+        # a row block must fit inside its locality window: the join computes
+        # every block row's distances against X_rows, so a block wider than
+        # the window would pair out-of-window rows with a clamped (WRONG)
+        # query row and merge corrupt distances
+        b = min(b, window_rows)
+    n_blocks = -(-n // b)
 
     def body(blk, carry):
         st, changes = carry

@@ -95,11 +95,17 @@ def test_locality_windowed_descent_recall(nn_data):
         train, n_neighbors=k, random_state=42,
         locality={"window": 256, "phases": 2, "phase_iters": 4, "global_iters": 3},
     )
-    idx, _ = index.neighbor_graph
+    idx, dist = index.neighbor_graph
+    idx, dist = np.asarray(idx), np.asarray(dist)
     nn = NearestNeighbors(n_neighbors=k).fit(train)
     true_idx = nn.kneighbors(train, k, return_distance=False)
-    recall = _recall(np.asarray(idx), true_idx)
+    recall = _recall(idx, true_idx)
     assert recall >= 0.95, f"locality build recall {recall} < 0.95"
+    # stored distances must be the TRUE metric on the stored ids — windowed
+    # joins must never merge a distance computed from a clamped query row
+    # (regression: block_rows > window corrupted out-of-window rows)
+    exact = np.linalg.norm(train[:, None, :] - train[idx], axis=-1)
+    np.testing.assert_allclose(dist, exact, rtol=1e-4, atol=1e-4)
 
 
 def test_hub_heavy_reverse_diversify():
