@@ -157,7 +157,7 @@ def run_sparse_workload(NNDescent, train, queries, k, epsilon, metric, seed):
 
 
 def run_1m_workload(NNDescent, n=1_000_000, nq=10_000, d=128, k=10,
-                    build_k=20, epsilon=0.25, seed=42):
+                    build_k=20, epsilon=0.25, seed=42, metric="euclidean"):
     """SIFT-1M-class workload (north star, BASELINE.json): 1M x 128
     euclidean. Data is generated ON DEVICE (clustered, 1000 centers) and
     recall is scored against an on-device blocked exact-kNN oracle — the
@@ -194,8 +194,8 @@ def run_1m_workload(NNDescent, n=1_000_000, nq=10_000, d=128, k=10,
     # keeps deg_mean ~10 (so per-step gathers stay cheap; the wider beam
     # only widens the on-chip merge sort)
     index = NNDescent(
-        train, n_neighbors=build_k, random_state=seed, n_iters=10,
-        beam_width=96,
+        train, metric=metric, n_neighbors=build_k, random_state=seed,
+        n_iters=10, beam_width=96,
         locality={"window": 65536, "phases": 2, "phase_iters": 5,
                   "global_iters": 2},
     )
@@ -236,7 +236,14 @@ def run_1m_workload(NNDescent, n=1_000_000, nq=10_000, d=128, k=10,
         return jax.lax.fori_loop(0, nb, body, (bd, bi))[1]
 
     sample = np.random.RandomState(0).choice(nq, min(nq, 1024), replace=False)
-    true_q = np.asarray(exact_knn(queries[jnp.asarray(sample)], train, k))
+    if metric == "cosine":
+        # cosine ordering == sqeuclidean ordering on L2-normalized rows, so
+        # the same blocked oracle serves the angular workload
+        tn = train / jnp.linalg.norm(train, axis=1, keepdims=True)
+        qn = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+        true_q = np.asarray(exact_knn(qn[jnp.asarray(sample)], tn, k))
+    else:
+        true_q = np.asarray(exact_knn(queries[jnp.asarray(sample)], train, k))
     hits = sum(
         len(np.intersect1d(idx[s, :k], true_q[j])) for j, s in enumerate(sample)
     )
@@ -307,6 +314,16 @@ def main():
     except Exception:
         m1_build_s, m1_qps, m1_recall = 0.0, 0.0, 0.0
 
+    # ---- GloVe-25-class: 1M x 25 angular (opt-in until TPU-measured) ----
+    g_build_s, g_qps, g_recall = 0.0, 0.0, 0.0
+    if os.environ.get("BENCH_GLOVE25") == "1":
+        try:
+            g_build_s, g_qps, g_recall = run_1m_workload(
+                NNDescent, d=25, metric="cosine", seed=52
+            )
+        except Exception:
+            pass
+
     # CPU reference constants; derivation in BASELINE.md
     baseline_build_s = 30.0
     baseline_qps = 4000.0
@@ -351,6 +368,9 @@ def main():
                 "sift1m_build_seconds": round(m1_build_s, 2),
                 "sift1m_qps_vs_baseline": round(m1_qps / baseline_1m_qps, 3),
                 "sift1m_build_vs_baseline": ratio(baseline_1m_build_s, m1_build_s),
+                "glove25_qps": round(g_qps, 1),
+                "glove25_recall_at_10": round(g_recall, 4),
+                "glove25_build_seconds": round(g_build_s, 2),
                 "epsilon": epsilon,
                 "device": str(jax.devices()[0]),
             }
