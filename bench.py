@@ -157,47 +157,65 @@ def run_sparse_workload(NNDescent, train, queries, k, epsilon, metric, seed):
 
 
 def run_1m_workload(NNDescent, n=1_000_000, nq=10_000, d=128, k=10,
-                    build_k=20, epsilon=0.25, seed=42, metric="euclidean"):
+                    build_k=20, epsilon=0.25, seed=42, metric="euclidean",
+                    dz=16, **index_kwargs):
     """SIFT-1M-class workload (north star, BASELINE.json): 1M x 128
     euclidean. Data is generated ON DEVICE (clustered, 1000 centers) and
     recall is scored against an on-device blocked exact-kNN oracle — the
     tunneled host cannot ship a 512 MB matrix either way at bench time.
-    The graph is built at ``build_k`` (> query k): the standard
-    ann-benchmarks operating point builds a higher-degree graph than the
-    query k, and at 1M the extra degree is what holds recall@10 >= 0.95.
-    Build timed once (compile cache amortizes across rounds)."""
+
+    Generator (since round 4): ``dz``-dimensional clustered latents embedded
+    into d dimensions by an orthonormal frame plus 0.1 ambient noise. Real
+    SIFT-1M has intrinsic dimension ~10-15 (ann-benchmarks); the previous
+    full-d isotropic blobs concentrate distances into statistical near-ties
+    that cap ANY graph method's recall@10 near 0.9 (PERF_NOTES "1M TPU
+    measurement") — numbers before/after the generator swap are not
+    comparable. Set dz=0 for the old isotropic generator.
+
+    The graph is built at ``build_k`` and queried at k=10 (the
+    ann-benchmarks operating point). Build timed once (compile cache
+    amortizes across rounds)."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
     rs = np.random.RandomState(seed)
-    centers = jnp.asarray(rs.randn(1000, d).astype(np.float32) * 5)
+    if dz:
+        centers_z = jnp.asarray(rs.randn(1000, dz).astype(np.float32) * 5)
+        W = jnp.asarray(np.linalg.qr(rs.randn(d, dz))[0].T.astype(np.float32))
 
-    @functools.partial(jax.jit, static_argnames=("m",))
-    def gen(key, m):
-        k1, k2 = jax.random.split(key)
-        ids = jax.random.randint(k1, (m,), 0, centers.shape[0])
-        return centers[ids] + jax.random.normal(k2, (m, d), jnp.float32)
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def gen(key, m):
+            k1, k2, k3 = jax.random.split(key, 3)
+            ids = jax.random.randint(k1, (m,), 0, centers_z.shape[0])
+            z = centers_z[ids] + jax.random.normal(k2, (m, dz), jnp.float32)
+            return z @ W + 0.1 * jax.random.normal(k3, (m, d), jnp.float32)
+    else:
+        centers = jnp.asarray(rs.randn(1000, d).astype(np.float32) * 5)
+
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def gen(key, m):
+            k1, k2 = jax.random.split(key)
+            ids = jax.random.randint(k1, (m,), 0, centers.shape[0])
+            return centers[ids] + jax.random.normal(k2, (m, d), jnp.float32)
 
     train = gen(jax.random.PRNGKey(seed), n)
     queries = gen(jax.random.PRNGKey(seed + 1), nq)
     np.asarray(train[-1, -1])
 
     t0 = time.perf_counter()
-    # schedule tuned on the cluster-density stall testbed (PERF_NOTES
-    # "locality-windowed descent quality"): k=20 + 2 windowed phases x 5
-    # iters + 2 global polish iters reaches graph recall ~0.97 at ~2/3 the
-    # default iteration count
-    # beam_width=96 (vs the default 48): on the stall testbed it lifts
-    # query recall 0.945 -> 0.969 at eps 0.2 while the diversified graph
-    # keeps deg_mean ~10 (so per-step gathers stay cheap; the wider beam
-    # only widens the on-chip merge sort)
-    index = NNDescent(
-        train, metric=metric, n_neighbors=build_k, random_state=seed,
+    # recipe re-tuned on the dz=16 latent generator (PERF_NOTES round-4
+    # "1M re-tune"): locality-windowed descent + beam wide enough to hold
+    # recall@10 >= 0.95 at the qps target
+    kwargs = dict(
         n_iters=10, beam_width=96,
         locality={"window": 65536, "phases": 2, "phase_iters": 5,
                   "global_iters": 2},
+    )
+    kwargs.update(index_kwargs)
+    index = NNDescent(
+        train, metric=metric, n_neighbors=build_k, random_state=seed, **kwargs
     )
     index.prepare()
     np.asarray(index._search_graph[-1, -1])
@@ -280,49 +298,70 @@ def main():
         NNDescent, a_train, a_queries, k, epsilon, "cosine", 44
     )
 
+    # Secondary workloads never break the primary metric line: on failure
+    # (e.g. transient HBM pressure on the shared chip) they report zeros,
+    # and the exception text is recorded in the JSON under `errors` so a
+    # real regression (OOM, shape error) is distinguishable from "slow".
+    errors = {}
+
+    def guarded(name, fn):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            return 0.0, 0.0, 0.0
+
     # ---- MNIST-class dense workload: 70k x 784 euclidean (BASELINE.json
     # names the ann-benchmarks MNIST-784 config; doc/mnist.png) ----
-    # Secondary workloads never break the primary metric line: on failure
-    # (e.g. transient HBM pressure on the shared chip) they report zeros.
-    try:
-        m_train, m_queries = make_data(70_000, nq, 784, seed=45)
-        m_build_s, m_qps, m_recall = run_workload(
-            NNDescent, m_train, m_queries, k, epsilon, "euclidean", 46
-        )
-    except Exception:
-        m_build_s, m_qps, m_recall = 0.0, 0.0, 0.0
+    m_build_s, m_qps, m_recall = guarded(
+        "mnist",
+        lambda: run_workload(
+            NNDescent, *make_data(70_000, nq, 784, seed=45), k, epsilon,
+            "euclidean", 46
+        ),
+    )
 
     # ---- sparse TF-IDF workload: 50k docs x 100k features, nnz 64,
     # cosine + jaccard over the true sparse (packed-ELL) path ----
     try:
         s_train, s_queries = make_tfidf_data(50_000, 2_000, 100_000, 64, seed=47)
-        s_build_s, s_qps, s_recall = run_sparse_workload(
-            NNDescent, s_train, s_queries, k, 0.3, "cosine", 48
+    except Exception as exc:
+        errors["sparse_data"] = f"{type(exc).__name__}: {exc}"[:300]
+        s_train = s_queries = None
+    if s_train is not None:
+        s_build_s, s_qps, s_recall = guarded(
+            "sparse_cosine",
+            lambda: run_sparse_workload(
+                NNDescent, s_train, s_queries, k, 0.3, "cosine", 48
+            ),
         )
-        j_build_s, j_qps, j_recall = run_sparse_workload(
-            NNDescent, s_train, s_queries, k, 0.3, "jaccard", 49
+        j_build_s, j_qps, j_recall = guarded(
+            "sparse_jaccard",
+            lambda: run_sparse_workload(
+                NNDescent, s_train, s_queries, k, 0.3, "jaccard", 49
+            ),
         )
-    except Exception:
-        s_build_s, s_qps, s_recall = 0.0, 0.0, 0.0
-        j_build_s, j_qps, j_recall = 0.0, 0.0, 0.0
+    else:
+        s_build_s = s_qps = s_recall = j_build_s = j_qps = j_recall = 0.0
 
     # ---- 1M x 128 euclidean: the BASELINE.json north star scale ----
-    try:
-        if os.environ.get("BENCH_SKIP_1M") == "1":
-            raise RuntimeError("skipped")
-        m1_build_s, m1_qps, m1_recall = run_1m_workload(NNDescent)
-    except Exception:
+    if os.environ.get("BENCH_SKIP_1M") == "1":
         m1_build_s, m1_qps, m1_recall = 0.0, 0.0, 0.0
+        errors["sift1m"] = "skipped via BENCH_SKIP_1M"
+    else:
+        m1_build_s, m1_qps, m1_recall = guarded(
+            "sift1m", lambda: run_1m_workload(NNDescent)
+        )
 
-    # ---- GloVe-25-class: 1M x 25 angular (opt-in until TPU-measured) ----
-    g_build_s, g_qps, g_recall = 0.0, 0.0, 0.0
-    if os.environ.get("BENCH_GLOVE25") == "1":
-        try:
-            g_build_s, g_qps, g_recall = run_1m_workload(
-                NNDescent, d=25, metric="cosine", seed=52
-            )
-        except Exception:
-            pass
+    # ---- GloVe-25-class: 1M x 25 angular ----
+    if os.environ.get("BENCH_SKIP_GLOVE25") == "1":
+        g_build_s, g_qps, g_recall = 0.0, 0.0, 0.0
+        errors["glove25"] = "skipped via BENCH_SKIP_GLOVE25"
+    else:
+        g_build_s, g_qps, g_recall = guarded(
+            "glove25",
+            lambda: run_1m_workload(NNDescent, d=25, metric="cosine", seed=52),
+        )
 
     # CPU reference constants; derivation in BASELINE.md
     baseline_build_s = 30.0
@@ -371,6 +410,7 @@ def main():
                 "glove25_qps": round(g_qps, 1),
                 "glove25_recall_at_10": round(g_recall, 4),
                 "glove25_build_seconds": round(g_build_s, 2),
+                "errors": errors,
                 "epsilon": epsilon,
                 "device": str(jax.devices()[0]),
             }

@@ -48,6 +48,15 @@ def _check_finite(arr, name="data"):
                 "finite values (matching sklearn check_array semantics)."
             )
 
+# Exact-OT metric names routed through proxy build + exact host rerank
+# (reference builds on them directly via numba network simplex,
+# distances.py:1484-1598, :2103-2162 — untraceable under XLA).
+_OT_EXACT_ROUTES = {
+    "kantorovich": "proxy_kantorovich",
+    "wasserstein": "proxy_kantorovich",
+    "sinkhorn": "proxy_sinkhorn",
+}
+
 _ANGULAR_METRICS = (
     "cosine",
     "dot",
@@ -118,6 +127,7 @@ class NNDescent:
         build_dtype=None,
         sparse_sketch="auto",
         locality="auto",
+        profile=False,
     ):
         self.n_neighbors = n_neighbors
         self.metric = metric
@@ -148,6 +158,13 @@ class NNDescent:
         # phases): "auto" enables beyond 400k rows; None disables; a dict
         # sets {"window", "phases", "phase_iters", "global_iters"}
         self.locality = locality
+        # structured phase timings (SURVEY §5): True records wall seconds
+        # per build/prepare/query phase into ``phase_times_``; a directory
+        # path additionally captures a jax.profiler trace of the build
+        from pynndescent_tpu.utils.profiling import PhaseTimer
+
+        self.profile = profile
+        self._timer = PhaseTimer(profile)
 
         # dtype policy (reference pynndescent_.py:1041-1057): f32 C-order
         # dense (CSR densified — see ops.sparse), u8 for bit-packed metrics
@@ -273,30 +290,34 @@ class NNDescent:
         self.tree_init = tree_init and n_trees > 0
 
         # ---- build ----
+        self._build_ctx = self._timer.trace()
+        self._build_ctx.__enter__()
         forest = None
         if self.tree_init:
             if verbose:
                 print("Building RP forest with", n_trees, "trees")
-            fkey = rng.derive(self._key, rng.ROLE_FOREST)
-            seeds = jax.random.randint(
-                fkey, (n_trees,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
-            ).astype(jnp.uint32)
-            # hyperplane splits don't need full precision — bf16 rows halve
-            # the per-level gather traffic (distances stay f32 elsewhere);
-            # bit-packed data splits by closest anchor under popcount; packed
-            # ELL rows must stay exact f32 (they carry integer indices)
-            if self._is_bit or self._ell is not None:
-                split_X = self._X
-            else:
-                split_X = self._X.astype(jnp.bfloat16)
-            forest = rp_trees.build_forest_orders(
-                split_X,
-                seeds,
-                leaf_size,
-                min(rp_trees.forest_depth(n, leaf_size), self.max_rptree_depth),
-                angular=self._angular_trees,
-                ell_nnz=self._ell["nnz"] if self._ell is not None else None,
-            )
+            with self._timer.phase("forest"):
+                fkey = rng.derive(self._key, rng.ROLE_FOREST)
+                seeds = jax.random.randint(
+                    fkey, (n_trees,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
+                ).astype(jnp.uint32)
+                # hyperplane splits don't need full precision — bf16 rows halve
+                # the per-level gather traffic (distances stay f32 elsewhere);
+                # bit-packed data splits by closest anchor under popcount; packed
+                # ELL rows must stay exact f32 (they carry integer indices)
+                if self._is_bit or self._ell is not None:
+                    split_X = self._X
+                else:
+                    split_X = self._X.astype(jnp.bfloat16)
+                forest = rp_trees.build_forest_orders(
+                    split_X,
+                    seeds,
+                    leaf_size,
+                    min(rp_trees.forest_depth(n, leaf_size), self.max_rptree_depth),
+                    angular=self._angular_trees,
+                    ell_nnz=self._ell["nnz"] if self._ell is not None else None,
+                )
+                self._timer.block(*jax.tree_util.tree_leaves(forest))
 
         init_state = None
         if init_graph is not None:
@@ -313,23 +334,27 @@ class NNDescent:
 
         if verbose:
             print(_ts(), "NN descent for", n_iters, "iterations")
-        idx, dist_internal = nnd_ops.nn_descent(
-            self._X,
-            self._build_k,
-            self._key,
-            metric=self._internal_metric,
-            metric_kwds=self._internal_metric_kwds,
-            n_iters=n_iters,
-            delta=delta,
-            max_candidates=max_candidates,
-            init_graph=init_state,
-            forest=forest,
-            leaf_cap=min(leaf_size, 64),
-            block_rows=block_rows,
-            compute_dtype=jnp.bfloat16 if build_dtype == "bfloat16" else None,
-            locality=self.locality,
-            verbose=verbose,
-        )
+        with self._timer.phase("descent"):
+            idx, dist_internal = nnd_ops.nn_descent(
+                self._X,
+                self._build_k,
+                self._key,
+                metric=self._internal_metric,
+                metric_kwds=self._internal_metric_kwds,
+                n_iters=n_iters,
+                delta=delta,
+                max_candidates=max_candidates,
+                init_graph=init_state,
+                forest=forest,
+                leaf_cap=min(leaf_size, 64),
+                block_rows=block_rows,
+                compute_dtype=jnp.bfloat16 if build_dtype == "bfloat16" else None,
+                locality=self.locality,
+                verbose=verbose,
+            )
+            self._timer.block(idx, dist_internal)
+        self._build_ctx.__exit__(None, None, None)
+        self._build_ctx = None
         # keep the graph on device; host copies are materialized lazily on
         # first numpy access (neighbor_graph / update / pickle) — the eager
         # transfer was a multi-MB host pull on the build critical path
@@ -409,6 +434,19 @@ class NNDescent:
             self._internal_metric_kwds = {}
         if callable(metric):
             self._internal_metric = metric
+        elif metric in _OT_EXACT_ROUTES:
+            # Exact-OT names build and search on their cheap jittable proxy
+            # and exact-rerank on the host (the reference builds directly on
+            # the numba network-simplex metric, distances.py:1484-1598; that
+            # function cannot trace inside an XLA join, so here the proxy +
+            # exact-rerank machinery carries the same user-facing contract).
+            # metric_kwds (cost matrix, regularization) apply only to the
+            # exact metric — the proxy takes none.
+            entry = dst.proxy_distances[_OT_EXACT_ROUTES[metric]]
+            self._internal_metric = entry["proxy_dist"]
+            self._true_metric = entry["true_dist"]
+            self._is_proxy = True
+            self._internal_metric_kwds = {}
         elif metric in dst.proxy_distances:
             entry = dst.proxy_distances[metric]
             self._internal_metric = entry["proxy_dist"]
@@ -459,9 +497,34 @@ class NNDescent:
         idx, d = self._graph_host()
         if self._sketch is not None:
             return self._exact_graph()
+        if isinstance(self.metric, str) and self.metric in _OT_EXACT_ROUTES:
+            return self._exact_ot_graph()
         if self._distance_correction is not None:
             d = self._distance_correction(d)
         return idx, np.asarray(d)
+
+    def _exact_ot_graph(self):
+        """Exact-OT routed metrics: the internal graph ranks by the cheap
+        proxy; the API-visible graph recomputes each edge with the exact
+        host metric and reorders rows by true distance (same contract the
+        reference gets by building directly on the exact metric)."""
+        cached = getattr(self, "_graph_exact_ot", None)
+        if cached is None:
+            idx, _ = self._graph_host()
+            true_metric = self._true_metric
+            X = self._raw_data
+            d = np.full(idx.shape, np.inf, np.float64)
+            for i in range(idx.shape[0]):
+                for j, c in enumerate(idx[i]):
+                    if c >= 0:
+                        d[i, j] = true_metric(X[i], X[c], **self.metric_kwds)
+            order = np.argsort(d, axis=1)
+            rows = np.arange(idx.shape[0])[:, None]
+            cached = self._graph_exact_ot = (
+                idx[rows, order],
+                d[rows, order].astype(np.float32),
+            )
+        return cached
 
     def _ell_store_device(self):
         dev = getattr(self, "_ell_store_dev", None)
@@ -561,9 +624,11 @@ class NNDescent:
 
         if self.verbose:
             print(_ts(), "Building and diversifying the search graph")
-        adj, scalars = _assemble(
-            jnp.asarray(idx), jnp.asarray(dist), self._X, div_key
-        )
+        with self._timer.phase("prepare/diversify"):
+            adj, scalars = _assemble(
+                jnp.asarray(idx), jnp.asarray(dist), self._X, div_key
+            )
+            self._timer.block(adj)
         if self.verbose:
             deg = np.asarray(jnp.sum(adj >= 0, axis=1))
             print(
@@ -627,18 +692,19 @@ class NNDescent:
                     print(_ts(), f"search-tree candidate seed {cand}: score {sc:.4f}")
                 if sc > best_score:
                     best_score, seed = sc, cand
-        tree = rp_trees.flatten_search_tree(
-            self._X,
-            seed,
-            leaf_size=st_leaf_size,
-            max_depth=st_depth,
-            angular=self._angular_trees,
-            materialize=self.quantization is not None,
-            degrees=degrees_dev,
-            ell_nnz=ell_nnz,
-            neighbor_idx=nb_idx,
-        )
-        self._search_tree = tree.to_arrays()
+        with self._timer.phase("prepare/search_tree"):
+            tree = rp_trees.flatten_search_tree(
+                self._X,
+                seed,
+                leaf_size=st_leaf_size,
+                max_depth=st_depth,
+                angular=self._angular_trees,
+                materialize=self.quantization is not None,
+                degrees=degrees_dev,
+                ell_nnz=ell_nnz,
+                neighbor_idx=nb_idx,
+            )
+            self._search_tree = tree.to_arrays()
 
     def _init_quantization(self):
         """Compress the data and swap in the asymmetric quantized search
@@ -694,6 +760,19 @@ class NNDescent:
         candidates and rerank with the true metric (reference :2309-2312,
         rerank :775)."""
         self.prepare()
+        with self._timer.phase("query"):
+            out = self._query_impl(query_data, k, epsilon, proxy_beam_size)
+            self._timer.block(*out)
+        return out
+
+    @property
+    def phase_times_(self):
+        """Dict of accumulated wall seconds per phase (forest, descent,
+        prepare/diversify, prepare/search_tree, query). Populated only when
+        the index was constructed with ``profile=`` truthy."""
+        return dict(self._timer.times)
+
+    def _query_impl(self, query_data, k, epsilon, proxy_beam_size):
         from pynndescent_tpu.ops import sparse as sparse_ops
 
         ell_query_nnz = None
@@ -1134,6 +1213,8 @@ class NNDescent:
         # its jitted closures the same way, pynndescent_.py:1322-1331)
         state.pop("_quantized_rowwise", None)
         state.pop("_ell_metric_cache", None)
+        state.pop("_timer", None)  # recreated in __setstate__
+        state.pop("_build_ctx", None)
         if self._ell is not None:
             state["_internal_metric"] = None
             state["_distance_correction"] = None
@@ -1247,7 +1328,11 @@ class NNDescent:
         return obj
 
     def __setstate__(self, state):
+        from pynndescent_tpu.utils.profiling import PhaseTimer
+
         self.__dict__.update(state)
+        self._timer = PhaseTimer(getattr(self, "profile", False))
+        self._build_ctx = None
         self._X = jnp.asarray(self._raw_data)
         self._search_graph = jnp.asarray(state["_search_graph"])
         self._key = jnp.asarray(state["_key"])

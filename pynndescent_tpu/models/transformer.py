@@ -10,11 +10,15 @@ from __future__ import annotations
 
 import numpy as np
 from scipy import sparse
+from sklearn.base import BaseEstimator, TransformerMixin
 
 from pynndescent_tpu.models.nndescent import NNDescent
 
 
-class PyNNDescentTransformer:
+class PyNNDescentTransformer(TransformerMixin, BaseEstimator):
+    """sklearn-contract estimator (reference ``pynndescent_.py:2556`` inherits
+    the same two mixins): all ``__init__`` args are stored verbatim as
+    attributes so ``get_params``/``set_params``/``clone``/GridSearchCV work."""
     def __init__(
         self,
         n_neighbors=30,

@@ -66,6 +66,46 @@ def test_transformer_sklearn_pipeline(nn_data):
     assert out.shape == (300, 2)
 
 
+def test_transformer_sklearn_estimator_contract(nn_data):
+    """clone()/get_params()/set_params() round-trip (reference inherits
+    BaseEstimator/TransformerMixin at pynndescent_.py:2556)."""
+    from sklearn.base import BaseEstimator, TransformerMixin, clone
+
+    t = PyNNDescentTransformer(n_neighbors=7, metric="cosine", search_epsilon=0.15)
+    assert isinstance(t, BaseEstimator) and isinstance(t, TransformerMixin)
+    params = t.get_params()
+    assert params["n_neighbors"] == 7
+    assert params["metric"] == "cosine"
+    assert params["search_epsilon"] == 0.15
+    t2 = clone(t)
+    assert t2 is not t
+    assert t2.get_params() == params
+    t2.set_params(n_neighbors=3)
+    assert t2.n_neighbors == 3 and t.n_neighbors == 7
+
+
+def test_transformer_gridsearch_smoke(nn_data):
+    """GridSearchCV over the transformer inside a pipeline — exercises
+    clone + get_params/set_params through sklearn's machinery."""
+    from sklearn.manifold import Isomap
+    from sklearn.model_selection import GridSearchCV
+    from sklearn.pipeline import make_pipeline
+
+    X = nn_data[:200]
+    pipe = make_pipeline(
+        PyNNDescentTransformer(random_state=42),
+        Isomap(n_neighbors=8, metric="precomputed"),
+    )
+    grid = GridSearchCV(
+        pipe,
+        {"pynndescenttransformer__n_neighbors": [10, 15]},
+        cv=2,
+        scoring=lambda est, X_t: 1.0,  # smoke: fitting through clone is the test
+    )
+    grid.fit(X)
+    assert grid.best_params_["pynndescenttransformer__n_neighbors"] in (10, 15)
+
+
 def test_pickle_roundtrip(nn_data):
     train = nn_data[200:]
     queries = nn_data[:200]

@@ -129,6 +129,59 @@ def test_proxy_metric_query(nn_data):
     np.testing.assert_allclose(np.sort(dist[0]), np.sort(expected), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("metric", ["kantorovich", "wasserstein", "sinkhorn"])
+def test_exact_ot_metric_build_and_query(nn_data, metric):
+    """Direct exact-OT metric names build and query end-to-end (reference
+    NNDescent(metric="kantorovich"), distances.py:1484-1598): the build runs
+    on the jittable proxy, returned distances are host-exact."""
+    rs = np.random.RandomState(3)
+    d = 8
+    train = np.abs(rs.randn(120, d)).astype(np.float32) + 0.05
+    train /= train.sum(axis=1, keepdims=True)
+    queries = np.abs(rs.randn(15, d)).astype(np.float32) + 0.05
+    queries /= queries.sum(axis=1, keepdims=True)
+    # ground cost: 1-d bin positions
+    pos = np.arange(d, dtype=np.float64)
+    cost = np.abs(pos[:, None] - pos[None, :])
+
+    index = NNDescent(
+        train, metric=metric, metric_kwds={"cost": cost}, n_neighbors=8,
+        random_state=42,
+    )
+    idx, dist = index.query(queries, k=5, epsilon=0.2)
+    assert idx.shape == (15, 5)
+    assert np.all(idx >= 0) and np.all(np.isfinite(dist))
+
+    from pynndescent_tpu.ops import optimal_transport as ot
+
+    exact_fn = ot.kantorovich if metric != "sinkhorn" else (
+        lambda x, y: float(ot.sinkhorn(x, y, cost=cost))
+    )
+    # returned distances are the exact metric on the returned neighbors
+    expected = np.array(
+        [exact_fn(queries[0], train[c], cost=cost) if metric != "sinkhorn"
+         else exact_fn(queries[0], train[c]) for c in idx[0]]
+    )
+    np.testing.assert_allclose(dist[0], expected, rtol=1e-3, atol=1e-4)
+
+    # neighbor_graph exposes exact distances too
+    gi, gd = index.neighbor_graph
+    row_exact = np.array(
+        [exact_fn(train[0], train[c], cost=cost) if metric != "sinkhorn"
+         else exact_fn(train[0], train[c]) for c in gi[0]]
+    )
+    np.testing.assert_allclose(gd[0], row_exact, rtol=1e-3, atol=1e-4)
+    # recall vs exact-OT oracle on a query sample
+    sub = rs.choice(len(train), 60, replace=False)
+    true0 = np.argsort(
+        [exact_fn(queries[0], train[c], cost=cost) if metric != "sinkhorn"
+         else exact_fn(queries[0], train[c]) for c in sub]
+    )[:5]
+    # sanity only: the top-1 exact neighbor among the sampled subset should
+    # rank well in the returned list whenever it was indexed
+    assert len(np.intersect1d(idx[0], sub[true0])) >= 1
+
+
 def test_metric_kwds_minkowski(nn_data):
     k = 8
     index = NNDescent(
