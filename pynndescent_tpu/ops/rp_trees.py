@@ -415,38 +415,65 @@ def _fast_forest_orders(X, seeds, leaf_size: int, max_depth: int, angular: bool)
     norms = _tree_norms(X, angular)
     point_ids = jnp.arange(n, dtype=jnp.int32)
 
-    # per-level direction bank for ALL trees: [L, T, d]. Projections are
-    # computed per level ([n, T] at a time) instead of materialising the
+    # per-level direction bank for ALL trees: [T, L, d]. Projections are
+    # computed per level ([T, n] at a time) instead of materialising the
     # full [T, n, L] tensor — at n=1M x 12 trees x 18 levels that tensor
     # alone is ~0.9 GB, and HBM headroom on a shared chip is the binding
     # constraint before speed (one [n,d]x[d,T] matmul per level is a cheap
     # sequential read of X).
     R_bank = jax.vmap(lambda s: _level_directions(s, max_depth, d))(seeds)  # [T, L, d]
     trow = jnp.arange(T)[:, None]
-    node = jnp.zeros((T, n), jnp.int32)
     fleaf = jnp.float32(leaf_size)
     inv_norms = (
         (1.0 / jnp.maximum(norms, 1e-8))[None, :] if angular else None
     )
-
-    for level in range(max_depth):
-        M = 1 << level
-        pl = jax.lax.dot_general(
-            R_bank[:, level], X, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, n]
-        if inv_norms is not None:
-            pl = pl * inv_norms
-        vals = jnp.stack([pl, jnp.ones_like(pl)], axis=-1)
-        table = jnp.zeros((T, M, 2), jnp.float32).at[trow, node].add(vals)
-        s, c = table[..., 0], table[..., 1]
-        thr = jnp.where(c <= fleaf, jnp.inf, s / jnp.maximum(c, 1.0))
-        thr_p = jnp.take_along_axis(thr, node, axis=1)  # [T, n]
-        coin = (_hash3(seeds[:, None], jnp.uint32(level * 2 + 7), point_ids[None]) & 1).astype(bool)
-        side = jnp.where(pl == thr_p, coin, pl > thr_p)
-        node = node * 2 + side.astype(jnp.int32)
-
     M = 1 << max_depth
+
+    # Level loop as while_loops instead of a Python unroll: the unrolled
+    # program compiled a distinct scatter/gather pair per level and cost
+    # ~140 s of XLA time at depth 19 through the tunnel; the loop bodies
+    # below are depth-independent, and the all-leaves-frozen early exit
+    # comes for free (mean splits finish ~3-4 levels shallower than the
+    # slack-padded max_depth). Two stages because the segment-stats
+    # scatter-add costs grow ~5x from a [T, 2^11] table to a [T, 2^19] one
+    # (measured: 0.16 s vs 0.77 s per level at n=1M): shallow levels run
+    # with a small fixed table, and only the last few levels before the
+    # early exit pay for the full-size table.
+    def make_body(M_stage):
+        def body(carry):
+            level, node, _ = carry
+            Rl = jax.lax.dynamic_index_in_dim(R_bank, level, axis=1, keepdims=False)
+            pl = jax.lax.dot_general(
+                Rl, X, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, n]
+            if inv_norms is not None:
+                pl = pl * inv_norms
+            vals = jnp.stack([pl, jnp.ones_like(pl)], axis=-1)
+            table = jnp.zeros((T, M_stage, 2), jnp.float32).at[trow, node].add(vals)
+            s, c = table[..., 0], table[..., 1]
+            thr = jnp.where(c <= fleaf, jnp.inf, s / jnp.maximum(c, 1.0))
+            thr_p = jnp.take_along_axis(thr, node, axis=1)  # [T, n]
+            coin = (_hash3(seeds[:, None], (level * 2 + 7).astype(jnp.uint32), point_ids[None]) & 1).astype(bool)
+            side = jnp.where(pl == thr_p, coin, pl > thr_p)
+            # nodes at or below leaf_size froze (thr=inf -> all left): once
+            # every node is frozen the remaining levels are pure no-op
+            # shifts, which do not change the grouping order — exit early.
+            not_done = jnp.max(c) > fleaf
+            return level + 1, node * 2 + side.astype(jnp.int32), not_done
+
+        return body
+
+    stage1_depth = min(max_depth, 11)
+    carry = (jnp.int32(0), jnp.zeros((T, n), jnp.int32), jnp.bool_(True))
+    carry = jax.lax.while_loop(
+        lambda c: (c[0] < stage1_depth) & c[2], make_body(1 << stage1_depth), carry
+    )
+    if max_depth > stage1_depth:
+        carry = jax.lax.while_loop(
+            lambda c: (c[0] < max_depth) & c[2], make_body(M), carry
+        )
+    _, node, _ = carry
     # int32 accumulation: a float32 cumsum loses integer exactness past 2^24,
     # silently misaligning leaf windows at n > ~16.7M
     cnt = jnp.zeros((T, M), jnp.int32).at[trow, node].add(1)
