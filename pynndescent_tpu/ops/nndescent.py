@@ -143,9 +143,14 @@ def _reverse_sample(idx, pri, slot, mask, n, c):
 
     buf = jnp.full((n + 1, c), jnp.inf, jnp.float32)
     buf = buf.at[tgt, slot].min(pri)
-    won = (pri == buf[tgt, slot]) & mask
+    tied = (pri == buf[tgt, slot]) & mask
     rcand = jnp.full((n + 1, c), -1, jnp.int32)
-    rcand = rcand.at[tgt, slot].max(jnp.where(won, src, -1))
+    rcand = rcand.at[tgt, slot].max(jnp.where(tied, src, -1))
+    # ties on f32 priority: several sources can match the slot minimum, but
+    # only the max-src one survives the .max — clearing the others' new
+    # flags would consume their edges unexplored. Win = priority tie AND
+    # being the surviving id.
+    won = tied & (src == rcand[tgt, slot])
     return rcand[:n], won
 
 
@@ -737,10 +742,62 @@ def init_from_tree_order(
     return jax.lax.fori_loop(0, n_blocks, body, state)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("win", "m", "metric", "use_pallas", "block_rows")
+)
+def _jit_window_sweep(
+    state_p: NeighborState, Xp, *, win: int, m: int, metric: str,
+    use_pallas: bool = True, block_rows: int = 65536,
+):
+    """Merge each point's exact within-window top-m into the state.
+
+    ``state_p``/``Xp`` are in TREE-POSITION space (the locality-phase
+    convention), so the kernel's position ids merge directly. Merged entries
+    arrive flagged "new" — the following join iterations explore them."""
+    from pynndescent_tpu.ops import pallas_init as PI
+
+    ids, dd = PI.window_topm(Xp, win=win, m=m, metric=metric,
+                             use_pallas=use_pallas)
+    n = state_p.idx.shape[0]
+    b = min(block_rows, n)
+    n_blocks = -(-n // b)
+
+    def body(blk, st):
+        s0 = jnp.minimum(blk * b, n - b)
+        blk_state = NeighborState(
+            jax.lax.dynamic_slice_in_dim(st.idx, s0, b),
+            jax.lax.dynamic_slice_in_dim(st.dist, s0, b),
+            jax.lax.dynamic_slice_in_dim(st.flag, s0, b),
+        )
+        ci = jax.lax.dynamic_slice_in_dim(ids, s0, b)
+        cd = jax.lax.dynamic_slice_in_dim(dd, s0, b)
+        merged, _ = merge_candidates(blk_state, ci, cd)
+        return NeighborState(
+            jax.lax.dynamic_update_slice_in_dim(st.idx, merged.idx, s0, 0),
+            jax.lax.dynamic_update_slice_in_dim(st.dist, merged.dist, s0, 0),
+            jax.lax.dynamic_update_slice_in_dim(st.flag, merged.flag, s0, 0),
+        )
+
+    return jax.lax.fori_loop(0, n_blocks, body, state_p)
+
+
+def _sweep_ok(metric, metric_kwds, X) -> bool:
+    from pynndescent_tpu.ops import pallas_init as PI
+
+    return (
+        isinstance(metric, str)
+        and metric in PI.PALLAS_INIT_METRICS
+        and not metric_kwds
+        and X.dtype in (jnp.float32, jnp.bfloat16)
+        and X.shape[1] <= 512
+    )
+
+
 def _resolve_locality(locality, n_state, n_x, forest, n_iters):
     """Resolve the ``locality`` option of nn_descent to
-    (window, phases, phase_iters, global_iters), or None when disabled or
-    inapplicable (no forest, mesh-padded state, or table below the window)."""
+    (window, phases, phase_iters, global_iters, refresh, sweep_win, sweep_m),
+    or None when disabled or inapplicable (no forest, mesh-padded state, or
+    table below the window)."""
     if locality is None or forest is None:
         return None
     if n_state != n_x:
@@ -757,15 +814,26 @@ def _resolve_locality(locality, n_state, n_x, forest, n_iters):
     phases = int(locality.get("phases", 2))
     phase_iters = int(locality.get("phase_iters", max(4, n_iters // 2)))
     global_iters = int(locality.get("global_iters", 2))
+    # exact top-m window sweep (Pallas window_topm) before each phase's
+    # windowed joins: all-pairs within contiguous [sweep]-row slabs of the
+    # phase's tree order, the gather-free form of local exploration
+    sweep_win = int(locality.get("sweep", 0))
+    sweep_m = int(locality.get("sweep_m", 32))
+    if sweep_win and (sweep_win % 128 or not 256 <= sweep_win <= 1024):
+        raise ValueError(
+            "locality['sweep'] must be a multiple of 128 in [256, 1024]"
+        )
+    if sweep_win >= n_x:
+        sweep_win = 0
     # re-flag every edge as new before the global polish: the windowed
     # phases consumed most flags in-window, and the polish must re-explore
     # the graph's 2-hop family to stitch windows together
     refresh = bool(locality.get("refresh_flags", True))
     T = int(forest[0].shape[0])
     phases = min(phases, T)
-    if phases <= 0 or phase_iters <= 0:
+    if phases <= 0 or (phase_iters <= 0 and not sweep_win):
         return None
-    return W, phases, phase_iters, global_iters, refresh
+    return W, phases, phase_iters, global_iters, refresh, sweep_win, sweep_m
 
 
 def nn_descent(
@@ -912,29 +980,45 @@ def nn_descent(
 
     loc = _resolve_locality(locality, n, X.shape[0], forest if rp_tree_init else None, n_iters)
     if loc is not None:
-        W, phases, phase_iters, global_iters, refresh_flags = loc
+        W, phases, phase_iters, global_iters, refresh_flags, sweep_win, sweep_m = loc
+        if sweep_win and not _sweep_ok(metric, metric_kwds, X_join):
+            sweep_win = 0
+            if phase_iters <= 0:
+                phase_iters = max(4, n_iters // 2)
+        use_pallas_sweep = jax.default_backend() in ("tpu", "axon")
         orders = forest[0]
         T = int(orders.shape[0])
         for ph in range(phases):
             order = jnp.asarray(orders[ph % T])
             state = _state_to_tree_order(state, order)
             Xp = _jit_permute_rows(X_join, order)
-            state = _jit_descent_loop(
-                state, Xp,
-                rng.derive(key, rng.ROLE_DESCENT_LOCAL, ph),
-                jnp.float32(stop_count),
-                n_iters=phase_iters,
-                max_candidates=max_candidates,
-                dist_rowwise=dist_rowwise,
-                block_rows=min(block_rows, n),
-                hop2_new_samples=hop2_new_samples,
-                hop2_old_samples=hop2_old_samples,
-                window_rows=W,
-            )
+            if sweep_win:
+                state = _jit_window_sweep(
+                    state, Xp, win=sweep_win, m=sweep_m, metric=metric,
+                    use_pallas=use_pallas_sweep,
+                )
+            if phase_iters > 0:
+                state = _jit_descent_loop(
+                    state, Xp,
+                    rng.derive(key, rng.ROLE_DESCENT_LOCAL, ph),
+                    jnp.float32(stop_count),
+                    n_iters=phase_iters,
+                    max_candidates=max_candidates,
+                    dist_rowwise=dist_rowwise,
+                    block_rows=min(block_rows, n),
+                    hop2_new_samples=hop2_new_samples,
+                    hop2_old_samples=hop2_old_samples,
+                    window_rows=W,
+                )
             state = _state_from_tree_order(state, order)
             del Xp
             if verbose:
-                print(f"\tlocality phase {ph + 1} / {phases} (window {W}, tree {ph % T})")
+                print(
+                    f"\tlocality phase {ph + 1} / {phases} (window {W}, "
+                    f"tree {ph % T}"
+                    + (f", sweep {sweep_win}x{sweep_m}" if sweep_win else "")
+                    + ")"
+                )
         n_iters = max(global_iters, 0)
         if refresh_flags and n_iters > 0:
             state = state._replace(flag=state.idx >= 0)

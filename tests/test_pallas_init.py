@@ -96,3 +96,68 @@ def test_oversized_leaf_rows_fall_back(small_forest):
     uncovered = pos_of >= 64
     assert np.all(idx[uncovered] == -1)
     assert np.all(idx[~uncovered] >= 0)
+
+
+# ---------------------------------------------------------------------------
+# window_topm: exact within-window top-m (the gather-free locality sweep)
+# ---------------------------------------------------------------------------
+
+
+def _topm_oracle(X, win, m, n_real=None):
+    """Brute-force within-window top-m (numpy)."""
+    n = X.shape[0] if n_real is None else n_real
+    ids = np.full((n, m), -1, np.int64)
+    dd = np.full((n, m), np.inf, np.float32)
+    for s in range(0, n, win):
+        e = min(s + win, n)
+        blk = np.asarray(X[s:e], np.float32)
+        d = ((blk[:, None, :] - blk[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d, np.inf)
+        take = min(m, e - s - 1)
+        order = np.argsort(d, axis=1, kind="stable")[:, :take]
+        ids[s:e, :take] = order + s
+        dd[s:e, :take] = np.take_along_axis(d, order, axis=1)
+    return ids, dd
+
+
+@pytest.mark.parametrize("n", [1024, 1100])  # exact multiple + ragged tail
+def test_window_topm_xla_matches_oracle(n):
+    rs = np.random.RandomState(1)
+    X = jnp.asarray(rs.randn(n, 24).astype(np.float32))
+    win, m = 256, 12
+    ids, dd = pi.window_topm(X, win=win, m=m, metric="sqeuclidean",
+                             use_pallas=False)
+    oid, od = _topm_oracle(X, win, m)
+    ids, dd = np.asarray(ids), np.asarray(dd)
+    # same distances everywhere (id ties may reorder within equal distances)
+    np.testing.assert_allclose(dd, od, rtol=1e-4, atol=1e-5)
+    agree = (ids == oid).mean()
+    assert agree > 0.999
+
+
+def test_window_topm_pallas_interpret_matches_xla():
+    rs = np.random.RandomState(2)
+    X = jnp.asarray(rs.randn(640, 16).astype(np.float32))
+    win, m = 256, 8
+    xi, xd = pi.window_topm(X, win=win, m=m, metric="sqeuclidean",
+                            use_pallas=False)
+    pi_, pd_ = pi.window_topm(X, win=win, m=m, metric="sqeuclidean",
+                              use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(pd_), np.asarray(xd), rtol=1e-4, atol=1e-5)
+    agree = (np.asarray(pi_) == np.asarray(xi)).mean()
+    assert agree > 0.999
+
+
+def test_window_sweep_merges_exact_local_neighbors():
+    """After one sweep, every point's state holds its exact within-window
+    top-k (the sweep is exhaustive inside a window)."""
+    rs = np.random.RandomState(3)
+    n, k = 700, 6
+    X = jnp.asarray(rs.randn(n, 8).astype(np.float32))
+    state = make_neighbor_state(n, k)
+    state = nnd_ops._jit_window_sweep(
+        state, X, win=256, m=16, metric="sqeuclidean", use_pallas=False
+    )
+    oid, od = _topm_oracle(X, 256, k)
+    np.testing.assert_allclose(np.asarray(state.dist), od, rtol=1e-4, atol=1e-5)
+    assert bool(np.asarray(state.flag)[np.asarray(state.idx) >= 0].all())
