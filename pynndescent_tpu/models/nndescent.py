@@ -70,6 +70,31 @@ _ANGULAR_METRICS = (
 )
 
 
+def _resolve_mesh(devices):
+    """Resolve the ``devices`` constructor kwarg to a jax.sharding.Mesh or
+    None (single device). Accepts None, an int (first N of jax.devices()),
+    a sequence of jax devices, or a Mesh."""
+    if devices is None:
+        return None
+    from jax.sharding import Mesh
+
+    if isinstance(devices, Mesh):
+        return devices
+    from pynndescent_tpu.parallel import mesh as mesh_mod
+
+    if isinstance(devices, int):
+        if devices <= 1:
+            return None
+        avail = len(jax.devices())
+        if devices > avail:
+            raise ValueError(f"devices={devices} but only {avail} available")
+        return mesh_mod.make_mesh(devices)
+    devs = list(devices)
+    if len(devs) <= 1:
+        return None
+    return Mesh(np.array(devs), ("data",))
+
+
 class NNDescent:
     """TPU-native approximate nearest neighbor index (reference:
     pynndescent_.py:976).
@@ -128,6 +153,8 @@ class NNDescent:
         sparse_sketch="auto",
         locality="auto",
         profile=False,
+        devices=None,
+        shard_data=False,
     ):
         self.n_neighbors = n_neighbors
         self.metric = metric
@@ -154,6 +181,16 @@ class NNDescent:
         self.search_dtype = search_dtype
         self.build_dtype = build_dtype
         self.sparse_sketch = sparse_sketch
+        # multi-device scale-out (the reference's n_jobs analog,
+        # pynndescent_.py:1140-1143 -> a jax.sharding mesh axis): None = one
+        # device; an int / device list / jax.sharding.Mesh shards the build's
+        # vertex state over the mesh (parallel.mesh.sharded_nn_descent) and
+        # serves query() with the query batch sharded
+        # (parallel.mesh.sharded_search). ``shard_data=True`` additionally
+        # row-shards X itself (> per-device-HBM datasets).
+        self.devices = devices
+        self.shard_data = bool(shard_data)
+        self._mesh = _resolve_mesh(devices)
         # tree-order windowed descent at large n (ops.nndescent locality
         # phases): "auto" enables beyond 400k rows; None disables; a dict
         # sets {"window", "phases", "phase_iters", "global_iters"}
@@ -193,11 +230,15 @@ class NNDescent:
                 if sk is not None:
                     # hashed-projection proxy build (ops/sketch.py): dense
                     # MXU pipeline over the sketch; exact ELL rows kept for
-                    # reranking every distance the API returns
+                    # reranking every distance the API returns. Jaccard-family
+                    # metrics use a minhash value signature instead (internal
+                    # metric `hamming`: exact-compare estimator, variance
+                    # J(1-J)/h per pair).
                     self._ell_store = sparse_ell.csr_to_ell_packed(
                         csr, nnz_max
                     )
                     self._sketch = {
+                        "kind": sk["kind"],
                         "h": sk["h"],
                         "internal": sk["internal"],
                         "binarize": sk["binarize"],
@@ -205,9 +246,14 @@ class NNDescent:
                         "nnz": nnz_max,
                         "n_features": csr.shape[1],
                     }
-                    data = sketch_ops.sketch_csr(
-                        csr, sk["h"], self._sketch["seed"], sk["binarize"]
-                    )
+                    if sk["kind"] == "minhash":
+                        data = sketch_ops.minhash_sketch_csr(
+                            csr, sk["h"], self._sketch["seed"]
+                        )
+                    else:
+                        data = sketch_ops.sketch_csr(
+                            csr, sk["h"], self._sketch["seed"], sk["binarize"]
+                        )
                 else:
                     # wide feature space: true sparse padded-ELL kernels
                     data = sparse_ell.csr_to_ell_packed(csr, nnz_max)
@@ -256,6 +302,11 @@ class NNDescent:
         self._angular_trees = metric in _ANGULAR_METRICS or (
             callable(metric) and self.angular_trees
         )
+        if self._sketch is not None and self._sketch["kind"] == "minhash":
+            # minhash signatures are uniform random values; offset
+            # (euclidean) splits carry the coarse match structure —
+            # normalizing them for angular splits destroys it
+            self._angular_trees = False
 
 
         # metric resolution: substitute the order-preserving fast alternative
@@ -335,23 +386,46 @@ class NNDescent:
         if verbose:
             print(_ts(), "NN descent for", n_iters, "iterations")
         with self._timer.phase("descent"):
-            idx, dist_internal = nnd_ops.nn_descent(
-                self._X,
-                self._build_k,
-                self._key,
-                metric=self._internal_metric,
-                metric_kwds=self._internal_metric_kwds,
-                n_iters=n_iters,
-                delta=delta,
-                max_candidates=max_candidates,
-                init_graph=init_state,
-                forest=forest,
-                leaf_cap=min(leaf_size, 64),
-                block_rows=block_rows,
-                compute_dtype=jnp.bfloat16 if build_dtype == "bfloat16" else None,
-                locality=self.locality,
-                verbose=verbose,
-            )
+            if self._mesh is not None:
+                if init_state is not None:
+                    raise NotImplementedError(
+                        "init_graph warm starts are not supported with "
+                        "devices=/mesh builds yet"
+                    )
+                from pynndescent_tpu.parallel import mesh as mesh_mod
+
+                idx, dist_internal = mesh_mod.sharded_nn_descent(
+                    self._X,
+                    self._build_k,
+                    self._key,
+                    self._mesh,
+                    metric=self._internal_metric,
+                    metric_kwds=self._internal_metric_kwds,
+                    n_iters=n_iters,
+                    delta=delta,
+                    max_candidates=max_candidates,
+                    forest=forest,
+                    leaf_cap=min(leaf_size, 64),
+                    shard_data=self.shard_data,
+                )
+            else:
+                idx, dist_internal = nnd_ops.nn_descent(
+                    self._X,
+                    self._build_k,
+                    self._key,
+                    metric=self._internal_metric,
+                    metric_kwds=self._internal_metric_kwds,
+                    n_iters=n_iters,
+                    delta=delta,
+                    max_candidates=max_candidates,
+                    init_graph=init_state,
+                    forest=forest,
+                    leaf_cap=min(leaf_size, 64),
+                    block_rows=block_rows,
+                    compute_dtype=jnp.bfloat16 if build_dtype == "bfloat16" else None,
+                    locality=self.locality,
+                    verbose=verbose,
+                )
             self._timer.block(idx, dist_internal)
         self._build_ctx.__exit__(None, None, None)
         self._build_ctx = None
@@ -752,16 +826,20 @@ class NNDescent:
     # query
     # ------------------------------------------------------------------
 
-    def query(self, query_data, k=10, epsilon=0.1, proxy_beam_size=4):
+    def query(self, query_data, k=10, epsilon=0.1, proxy_beam_size=4,
+              expansions_per_step=2):
         """k nearest neighbors of each query point (reference: query,
         pynndescent_.py:2275). Returns (indices, distances).
 
         Proxy and quantized metrics over-fetch ``proxy_beam_size * k``
         candidates and rerank with the true metric (reference :2309-2312,
-        rerank :775)."""
+        rerank :775). ``expansions_per_step`` sets how many beam vertices
+        expand per lockstep search step (more = fewer, bigger steps; the
+        recall floors are tuned at 2)."""
         self.prepare()
         with self._timer.phase("query"):
-            out = self._query_impl(query_data, k, epsilon, proxy_beam_size)
+            out = self._query_impl(query_data, k, epsilon, proxy_beam_size,
+                                   expansions_per_step)
             self._timer.block(*out)
         return out
 
@@ -772,7 +850,8 @@ class NNDescent:
         the index was constructed with ``profile=`` truthy."""
         return dict(self._timer.times)
 
-    def _query_impl(self, query_data, k, epsilon, proxy_beam_size):
+    def _query_impl(self, query_data, k, epsilon, proxy_beam_size,
+                    expansions_per_step=2):
         from pynndescent_tpu.ops import sparse as sparse_ops
 
         ell_query_nnz = None
@@ -802,10 +881,15 @@ class NNDescent:
             q_max = int(np.diff(qcsr.indptr).max(initial=1))
             qnnz = nnz if q_max <= nnz else 1 << (q_max - 1).bit_length()
             sketch_q_ell = (sparse_ell.csr_to_ell_packed(qcsr, qnnz), qnnz)
-            query_data = sketch_ops.sketch_csr(
-                qcsr, self._sketch["h"], self._sketch["seed"],
-                self._sketch["binarize"],
-            )
+            if self._sketch["kind"] == "minhash":
+                query_data = sketch_ops.minhash_sketch_csr(
+                    qcsr, self._sketch["h"], self._sketch["seed"]
+                )
+            else:
+                query_data = sketch_ops.sketch_csr(
+                    qcsr, self._sketch["h"], self._sketch["seed"],
+                    self._sketch["binarize"],
+                )
         elif sparse_ops.is_sparse(query_data):
             if self._ell is not None:
                 from pynndescent_tpu.ops import sparse_ell
@@ -912,25 +996,46 @@ class NNDescent:
         if tree_queries is not None:
             tree_q_dev = q_dev if tree_queries is q else jnp.asarray(tree_queries)
         rerank_needed = is_proxy or use_bf16
-        idx, d = search_ops.search(
-            search_q_dev,
-            cand_X,
-            self._search_graph,
-            self._search_tree,
-            rng.derive(self._key, rng.ROLE_SEARCH, 2),
-            k=search_k,
-            epsilon=epsilon,
-            min_distance=min_distance,
-            beam_width=beam,
-            dist_rowwise=dist_rowwise,
-            tree_queries=tree_q_dev,
-            ell=(
-                (ell_query_nnz, self._ell["nnz"])
-                if self._ell is not None
-                else None
-            ),
-            return_device=rerank_needed,
+        ell_widths = (
+            (ell_query_nnz, self._ell["nnz"]) if self._ell is not None else None
         )
+        if self._mesh is not None:
+            # data-parallel serving: the query batch shards over the mesh,
+            # the index (graph + tree + data) replicates (parallel.mesh)
+            from pynndescent_tpu.parallel import mesh as mesh_mod
+
+            idx, d = mesh_mod.sharded_search(
+                search_q_dev,
+                cand_X,
+                self._search_graph,
+                self._search_tree,
+                rng.derive(self._key, rng.ROLE_SEARCH, 2),
+                self._mesh,
+                k=search_k,
+                epsilon=epsilon,
+                min_distance=min_distance,
+                beam_width=beam,
+                dist_rowwise=dist_rowwise,
+                tree_queries=tree_q_dev,
+                ell=ell_widths,
+            )
+        else:
+            idx, d = search_ops.search(
+                search_q_dev,
+                cand_X,
+                self._search_graph,
+                self._search_tree,
+                rng.derive(self._key, rng.ROLE_SEARCH, 2),
+                k=search_k,
+                epsilon=epsilon,
+                min_distance=min_distance,
+                beam_width=beam,
+                dist_rowwise=dist_rowwise,
+                tree_queries=tree_q_dev,
+                ell=ell_widths,
+                expansions_per_step=int(expansions_per_step),
+                return_device=rerank_needed,
+            )
         if rerank_needed:
             idx, d = self._rerank(q_dev, idx, k, ell_queries=sketch_q_ell)
         else:
@@ -1099,10 +1204,15 @@ class NNDescent:
                     ]
                 )
                 self._ell_store_dev = None
-                xs_fresh = sketch_ops.sketch_csr(
-                    fcsr, self._sketch["h"], self._sketch["seed"],
-                    self._sketch["binarize"],
-                )
+                if self._sketch["kind"] == "minhash":
+                    xs_fresh = sketch_ops.minhash_sketch_csr(
+                        fcsr, self._sketch["h"], self._sketch["seed"]
+                    )
+                else:
+                    xs_fresh = sketch_ops.sketch_csr(
+                        fcsr, self._sketch["h"], self._sketch["seed"],
+                        self._sketch["binarize"],
+                    )
         data = self._raw_data
         idx, dist = self._graph_host()
         n_old, k = idx.shape
@@ -1215,6 +1325,14 @@ class NNDescent:
         state.pop("_ell_metric_cache", None)
         state.pop("_timer", None)  # recreated in __setstate__
         state.pop("_build_ctx", None)
+        # a Mesh (and raw Device objects) are process-local: serialize the
+        # device COUNT and re-resolve on load (mesh builds load fine on a
+        # single device — the index arrays are device-agnostic)
+        state.pop("_mesh", None)
+        if self._mesh is not None:
+            state["devices"] = int(np.prod(list(self._mesh.shape.values())))
+        else:
+            state["devices"] = None
         if self._ell is not None:
             state["_internal_metric"] = None
             state["_distance_correction"] = None
@@ -1333,6 +1451,12 @@ class NNDescent:
         self.__dict__.update(state)
         self._timer = PhaseTimer(getattr(self, "profile", False))
         self._build_ctx = None
+        try:
+            self._mesh = _resolve_mesh(getattr(self, "devices", None))
+        except ValueError:
+            # fewer devices available here than where the index was built:
+            # serve single-device (the index arrays are device-agnostic)
+            self._mesh = None
         self._X = jnp.asarray(self._raw_data)
         self._search_graph = jnp.asarray(state["_search_graph"])
         self._key = jnp.asarray(state["_key"])

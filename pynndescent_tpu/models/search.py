@@ -63,7 +63,9 @@ def search_block(
     leaf_max: int,
     tree_depth: int,
     tree_angular: bool = False,
-    expansions_per_step: int = 1,
+    # the operative default is 2, set by the search() driver below — every
+    # recall floor in tests/ was tuned at E=2; keep the two in sync
+    expansions_per_step: int = 2,
     ell: tuple | None = None,  # (query nnz, data nnz) for packed-ELL rows
 ):
     q = queries.shape[0]
@@ -155,11 +157,13 @@ def search(
     expansions_per_step: int = 2,
     ell: tuple | None = None,
     return_device: bool = False,
+    _return_steps: bool = False,
 ):
     """Batched driver over query blocks (pads the final block so one compiled
     program serves any query count). With ``return_device=True`` results stay
     on device (callers that rerank avoid a host round-trip — significant on
-    tunneled devices)."""
+    tunneled devices). ``_return_steps`` additionally returns the max
+    while-loop step count over the batches (diagnostics)."""
     queries = jnp.asarray(queries)
     nq = queries.shape[0]
     if beam_width is None:
@@ -203,6 +207,7 @@ def search(
     if tree_queries is not None:
         tree_queries = jnp.asarray(tree_queries)
     out_idx, out_dist = [], []
+    max_blk_steps = 0
     # bucketed batching: full batches of batch_size, then power-of-two
     # buckets for the tail, so a partial final batch doesn't pad (and pay)
     # all the way up to batch_size
@@ -225,7 +230,7 @@ def search(
             blk = jnp.pad(blk, ((0, b - (e - s)), (0, 0)))
             if tblk is not None:
                 tblk = jnp.pad(tblk, ((0, b - (e - s)), (0, 0)))
-        idx, dist, _ = search_block(
+        idx, dist, blk_steps = search_block(
             blk,
             X,
             adj,
@@ -244,14 +249,20 @@ def search(
             expansions_per_step=int(expansions_per_step),
             ell=ell,
         )
+        if _return_steps:
+            max_blk_steps = max(max_blk_steps, int(blk_steps))
         if return_device:
             out_idx.append(idx[: e - s])
             out_dist.append(dist[: e - s])
         else:
             out_idx.append(np.asarray(idx)[: e - s])
             out_dist.append(np.asarray(dist)[: e - s])
-    if return_device:
-        if len(out_idx) == 1:
-            return out_idx[0], out_dist[0]
-        return jnp.concatenate(out_idx, 0), jnp.concatenate(out_dist, 0)
-    return np.concatenate(out_idx, 0), np.concatenate(out_dist, 0)
+    if return_device and len(out_idx) == 1:
+        ri, rd = out_idx[0], out_dist[0]
+    elif return_device:
+        ri, rd = jnp.concatenate(out_idx, 0), jnp.concatenate(out_dist, 0)
+    else:
+        ri, rd = np.concatenate(out_idx, 0), np.concatenate(out_dist, 0)
+    if _return_steps:
+        return ri, rd, max_blk_steps
+    return ri, rd

@@ -24,13 +24,16 @@ exactly from the packed-ELL rows, so the proxy is invisible in the API
 except as a recall/speed trade tuned by ``h``.
 
 Metric mapping: cosine/dot/euclidean-family sketch their values directly
-(hashing preserves <x,y> and |x-y|^2); set metrics (jaccard/hamming/dice/
-russellrao/sokal_sneath/matching/kulsinski/rogers_tanimoto) sketch the
-*binarized* support under cosine, whose ordering tracks intersection-over-
-size for near-constant-nnz rows; exact rerank restores the true metric's
-ordering within the over-fetched candidate set. Metrics with no
-order-compatible dense proxy (KL, hellinger, canberra, ...) stay on the
-exact ELL path.
+(hashing preserves <x,y> and |x-y|^2). Set metrics (jaccard/hamming/dice/
+russellrao/sokal_sneath/matching/kulsinski/rogers_tanimoto) instead use a
+**minhash value signature**: h independent min-wise hashes of the support,
+with internal metric ``hamming`` over the signature — the exact-compare
+estimator has variance J(1-J)/h per pair (vs the (1-J^2)/h of any
+dot-product sketch of the same width), which matters enormously at the
+small Jaccard similarities real sparse corpora exhibit. Exact rerank
+restores the true metric's ordering within the over-fetched candidate set
+either way. Metrics with no order-compatible dense proxy (KL, hellinger,
+canberra, ...) stay on the exact ELL path.
 """
 
 from __future__ import annotations
@@ -44,18 +47,26 @@ SKETCH_METRICS = {
     "euclidean": ("euclidean", False),
     "l2": ("euclidean", False),
     "sqeuclidean": ("sqeuclidean", False),
-    "jaccard": ("cosine", True),
-    "hamming": ("cosine", True),
-    "dice": ("cosine", True),
-    "matching": ("cosine", True),
-    "kulsinski": ("cosine", True),
-    "rogers_tanimoto": ("cosine", True),
-    "russellrao": ("cosine", True),
-    "sokal_sneath": ("cosine", True),
-    "sokal_michener": ("cosine", True),
 }
 
+# Set metrics: all monotone in |x ∩ y| for near-constant row nnz, so a
+# Jaccard-ordering proxy orders them too; the exact rerank fixes the rest.
+MINHASH_METRICS = frozenset(
+    {
+        "jaccard",
+        "hamming",
+        "dice",
+        "matching",
+        "kulsinski",
+        "rogers_tanimoto",
+        "russellrao",
+        "sokal_sneath",
+        "sokal_michener",
+    }
+)
+
 DEFAULT_H = 1024
+DEFAULT_H_MINHASH = 256
 
 
 def resolve(sparse_sketch, metric, n_features):
@@ -64,22 +75,27 @@ def resolve(sparse_sketch, metric, n_features):
     metrics; an int picks the sketch width; None/False disables."""
     if sparse_sketch in (None, False):
         return None
-    if not isinstance(metric, str) or metric not in SKETCH_METRICS:
+    is_minhash = isinstance(metric, str) and metric in MINHASH_METRICS
+    if not is_minhash and (not isinstance(metric, str) or metric not in SKETCH_METRICS):
         if sparse_sketch == "auto":
             return None
         raise ValueError(
             f"sparse_sketch is not supported for metric {metric!r}; "
-            f"supported: {sorted(SKETCH_METRICS)}"
+            f"supported: {sorted(SKETCH_METRICS) + sorted(MINHASH_METRICS)}"
         )
-    internal, binarize = SKETCH_METRICS[metric]
     if sparse_sketch == "auto":
-        h = DEFAULT_H
+        h = DEFAULT_H_MINHASH if is_minhash else DEFAULT_H
     else:
         h = int(sparse_sketch)
         if h < 16:
             raise ValueError(f"sparse_sketch width must be >= 16, got {h}")
+    if is_minhash:
+        # signature width is a sample count, not a feature projection —
+        # never clamp it to n_features
+        return {"kind": "minhash", "h": h, "internal": "hamming", "binarize": True}
+    internal, binarize = SKETCH_METRICS[metric]
     h = min(h, n_features)
-    return {"h": h, "internal": internal, "binarize": binarize}
+    return {"kind": "hash", "h": h, "internal": internal, "binarize": binarize}
 
 
 def _hash_features(feat_idx, seed):
@@ -115,3 +131,57 @@ def sketch_csr(csr, h, seed=0, binarize=False):
         (vals * sign, (rows, bucket)), shape=(n, h)
     ).toarray()
     return np.ascontiguousarray(out, dtype=np.float32)
+
+
+def _minhash_block(idx_block, h, seed):
+    """[b, nnz] int32 feature ids (pad -1) -> [b, h] f32 minhash values.
+
+    One murmur3-fmix32 per (feature, hash-slot) pair, minimum over the row's
+    support. The returned value keeps 24 high bits so float32 represents it
+    exactly (hamming's `!=` compare must be collision-exact)."""
+    import jax.numpy as jnp
+
+    pad = idx_block < 0
+    f = idx_block.astype(jnp.uint32)
+    t = jnp.arange(h, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9) + jnp.uint32(
+        (int(seed) * 0x85EBCA6B + 1) & 0xFFFFFFFF
+    )
+    z = f[:, :, None] ^ t[None, None, :]
+    z = z ^ (z >> 16)
+    z = z * jnp.uint32(0x85EBCA6B)
+    z = z ^ (z >> 13)
+    z = z * jnp.uint32(0xC2B2AE35)
+    z = z ^ (z >> 16)
+    z = jnp.where(pad[:, :, None], jnp.uint32(0xFFFFFFFF), z)
+    mn = jnp.min(z, axis=1)
+    return (mn >> 8).astype(jnp.float32)
+
+
+def minhash_sketch_csr(csr, h, seed=0):
+    """Minhash value signature of a CSR matrix's binary support: [n, h]
+    float32 where entry t is the h-th min-wise hash of the row's feature
+    set. P(sig_x[t] == sig_y[t]) = Jaccard(x, y) (up to 2^-24 collisions),
+    so internal metric ``hamming`` over signatures estimates 1 - J with
+    variance J(1-J)/h. Computed on device in row blocks (the hash grid is
+    O(n * nnz * h) integer ops — VPU work, trivial next to the build)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    csr = csr.tocsr()
+    n = csr.shape[0]
+    counts = np.diff(csr.indptr)
+    nnz_max = max(1, int(counts.max(initial=1)))
+    inds = np.full((n, nnz_max), -1, np.int32)
+    rows = np.repeat(np.arange(n), counts)
+    cols = np.arange(len(csr.indices)) - np.repeat(csr.indptr[:-1], counts)
+    inds[rows, cols] = csr.indices
+
+    block_fn = jax.jit(functools.partial(_minhash_block, h=h, seed=seed))
+    b = max(1, (1 << 24) // max(nnz_max * h, 1))  # ~64M u32 lanes per block
+    out = np.empty((n, h), np.float32)
+    for s in range(0, n, b):
+        blk = inds[s : s + b]  # ragged tail retraces once; cheap
+        out[s : s + blk.shape[0]] = np.asarray(block_fn(jnp.asarray(blk)))
+    return out

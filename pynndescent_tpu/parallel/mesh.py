@@ -661,7 +661,8 @@ def _sharded_data_nn_descent(
 
 def sharded_search(queries, X, adj, tree, key, mesh, *, k, epsilon=0.1,
                    min_distance=0.0, beam_width=None, dist_rowwise=None,
-                   axis_name: str = "data", per_device_batch: int = 8192):
+                   axis_name: str = "data", per_device_batch: int = 8192,
+                   tree_queries=None, ell=None):
     """Query search with the query batch sharded over the mesh (data-parallel
     serving: each device runs the beam loop on its query shard against the
     replicated index). On a 2-D mesh the queries shard over the *outer*
@@ -689,25 +690,35 @@ def sharded_search(queries, X, adj, tree, key, mesh, *, k, epsilon=0.1,
     # as models.search). Padding rows are real rows replayed (row 0) — their
     # results are sliced off, they only keep shard shapes equal.
     queries = np.asarray(queries)
+    tree_q = None if tree_queries is None else np.asarray(tree_queries)
     nq = queries.shape[0]
     n_dev = int(mesh.shape[qaxis])
     chunk = n_dev * int(per_device_batch)
     out_idx, out_dist = [], []
+
+    def pad_chunk(blk, rows, tgt):
+        return np.concatenate(
+            [blk, np.broadcast_to(blk[:1], (tgt - rows,) + blk.shape[1:])], 0
+        )
+
     for s in range(0, nq, chunk):
         blk = queries[s : s + chunk]
+        tq_blk = None if tree_q is None else tree_q[s : s + chunk]
         rows = blk.shape[0]
         if rows < chunk:
             per = max(256, 1 << (-(-rows // n_dev) - 1).bit_length())
             tgt = min(chunk, n_dev * per)
-            blk = np.concatenate(
-                [blk, np.broadcast_to(blk[:1], (tgt - rows,) + blk.shape[1:])], 0
-            )
+            blk = pad_chunk(blk, rows, tgt)
+            if tq_blk is not None:
+                tq_blk = pad_chunk(tq_blk, rows, tgt)
         blk = jax.device_put(jnp.asarray(blk), qshard)
+        if tq_blk is not None:
+            tq_blk = jax.device_put(jnp.asarray(tq_blk), qshard)
         bi, bd = search_ops.search(
             blk, X, adj, tree, jax.random.fold_in(key, s),
             k=k, epsilon=epsilon, min_distance=min_distance,
             beam_width=beam_width, dist_rowwise=dist_rowwise,
-            batch_size=blk.shape[0],
+            batch_size=blk.shape[0], tree_queries=tq_blk, ell=ell,
         )
         out_idx.append(np.asarray(bi)[:rows])
         out_dist.append(np.asarray(bd)[:rows])

@@ -95,6 +95,11 @@ SLOW_TESTS = {
     "test_update_scenarios[update_only-cosine]",  # euclidean scenario remains
     "test_inf_query_rejected",  # NaN/inf build rejection tests remain
     "test_tree_init_false",  # random-init covered inside descent tests
+    # exact-OT routing: each name recompiles the whole proxy pipeline
+    # (minutes of XLA:CPU compile per test); kantorovich stays as the
+    # quick-tier representative of the shared routing
+    "test_exact_ot_metric_build_and_query[wasserstein]",
+    "test_exact_ot_metric_build_and_query[sinkhorn]",
 }
 
 

@@ -144,3 +144,26 @@ def test_hub_heavy_reverse_diversify():
     # a query at the center itself must find the center
     cidx, _ = index.query(np.zeros((1, 32), np.float32), k=5, epsilon=0.2)
     assert 0 in np.asarray(cidx)[0]
+
+
+def test_expansion_default_pinned():
+    """The beam search's operative expansion width is 2 (both the search()
+    driver default and search_block's own default): every recall floor in
+    this suite was tuned at E=2, so a silent retune of either default would
+    invalidate them (VERDICT r3 weak #4)."""
+    import inspect
+
+    from pynndescent_tpu.models import search as search_mod
+
+    assert (
+        inspect.signature(search_mod.search).parameters[
+            "expansions_per_step"
+        ].default
+        == 2
+    )
+    assert (
+        inspect.signature(search_mod.search_block).parameters[
+            "expansions_per_step"
+        ].default
+        == 2
+    )

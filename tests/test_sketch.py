@@ -59,10 +59,18 @@ def test_resolve_semantics():
     assert sketch_ops.resolve(None, "cosine", WIDE) is None
     assert sketch_ops.resolve(False, "cosine", WIDE) is None
     cfg = sketch_ops.resolve("auto", "cosine", WIDE)
-    assert cfg == {"h": sketch_ops.DEFAULT_H, "internal": "cosine", "binarize": False}
-    # jaccard sketches the binarized support under cosine
+    assert cfg == {
+        "kind": "hash",
+        "h": sketch_ops.DEFAULT_H,
+        "internal": "cosine",
+        "binarize": False,
+    }
+    # jaccard-family metrics use a minhash value signature under hamming
     cfg = sketch_ops.resolve("auto", "jaccard", WIDE)
-    assert cfg["internal"] == "cosine" and cfg["binarize"]
+    assert cfg["kind"] == "minhash" and cfg["internal"] == "hamming"
+    assert cfg["h"] == sketch_ops.DEFAULT_H_MINHASH
+    # minhash width is a sample count — NOT clamped to n_features
+    assert sketch_ops.resolve(512, "jaccard", 300)["h"] == 512
     # unsupported metric: auto silently declines, explicit width raises
     assert sketch_ops.resolve("auto", "hellinger", WIDE) is None
     with pytest.raises(ValueError):
@@ -71,6 +79,35 @@ def test_resolve_semantics():
         sketch_ops.resolve(8, "cosine", WIDE)  # too narrow
     # width never exceeds the feature count
     assert sketch_ops.resolve(4096, "cosine", 300)["h"] == 300
+
+
+def test_minhash_estimates_jaccard():
+    """P(signature match) == Jaccard: the hamming distance between minhash
+    value signatures is an unbiased estimator of 1-J with std
+    sqrt(J(1-J)/h)."""
+    rs = np.random.RandomState(3)
+    n, d, nnz = 48, WIDE, 40
+    rows = np.repeat(np.arange(n), nnz)
+    # overlapping supports drawn from a small shared pool -> J in ~[0.1, 0.5]
+    cols = rs.randint(0, 4 * nnz, n * nnz)
+    X = sparse.csr_matrix(
+        (np.ones(n * nnz, np.float32), (rows, cols)), shape=(n, d)
+    )
+    X.sum_duplicates()
+    h = 2048
+    S = sketch_ops.minhash_sketch_csr(X, h, seed=5)
+    assert S.shape == (n, h) and S.dtype == np.float32
+    np.testing.assert_array_equal(S, sketch_ops.minhash_sketch_csr(X, h, seed=5))
+    B = (X.toarray() != 0)
+    inter = (B[:, None, :] & B[None, :, :]).sum(-1)
+    union = (B[:, None, :] | B[None, :, :]).sum(-1)
+    J = inter / np.maximum(union, 1)
+    J_hat = (S[:, None, :] == S[None, :, :]).mean(-1)
+    iu = np.triu_indices(n, 1)
+    err = np.abs(J_hat - J)[iu]
+    # 3 sigma at J=0.5, h=2048 is 0.033
+    assert float(np.mean(err)) < 0.01
+    assert float(np.max(err)) < 0.05
 
 
 def test_sketch_preserves_inner_products():
@@ -124,7 +161,7 @@ def test_sketch_cosine_end_to_end():
 def test_sketch_jaccard_binarized():
     X = _topic_corpus(400, WIDE, nnz=20, seed=2)
     index = NNDescent(X, metric="jaccard", n_neighbors=8, random_state=42, n_trees=4)
-    assert index._sketch is not None and index._sketch["binarize"]
+    assert index._sketch is not None and index._sketch["kind"] == "minhash"
     idx, dist = index.neighbor_graph
     # oracle: exact jaccard on binary supports
     B = (X.toarray() != 0).astype(np.float32)
