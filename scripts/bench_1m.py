@@ -47,6 +47,28 @@ def make_data_device(n, nq, d, n_centers=1000, seed=42):
     return train, queries
 
 
+def make_latent_data_device(n, nq, d, dz=16, n_centers=1000, seed=42,
+                            noise=0.1):
+    """Low-intrinsic-dimension generator: dz-d clustered latents embedded
+    into d dims by an orthonormal frame + ambient noise. Matches real ANN
+    datasets (SIFT-1M intrinsic dim ~10-15); shared by the 1M diagnostics
+    and bench.py's run_1m_workload so experiments can't drift apart."""
+    rs = np.random.RandomState(seed)
+    centers_z = jnp.asarray(rs.randn(n_centers, dz).astype(np.float32) * 5)
+    W = jnp.asarray(np.linalg.qr(rs.randn(d, dz))[0].T.astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def gen(key, m):
+        k1, k2, k3 = jax.random.split(key, 3)
+        ids = jax.random.randint(k1, (m,), 0, n_centers)
+        z = centers_z[ids] + jax.random.normal(k2, (m, dz), jnp.float32)
+        return z @ W + noise * jax.random.normal(k3, (m, d), jnp.float32)
+
+    train = gen(jax.random.PRNGKey(seed), n)
+    queries = gen(jax.random.PRNGKey(seed + 1), nq)
+    return train, queries
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block"))
 def exact_knn_device(Q, X, k, block=262144):
     """Exact kNN of Q against X by blocked sqeuclidean + running top-k."""

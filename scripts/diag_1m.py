@@ -1,4 +1,8 @@
-"""Round-3 1M diagnostic: warm build w/ phase prints, graph recall, eps/beam sweep."""
+"""Round-3 1M diagnostic: build w/ phase prints, graph recall, eps/beam sweep.
+
+Timing is labeled neutrally: warmth depends on the persistent JAX compile
+cache being populated (cold cache => the same line includes compile time).
+"""
 import os, sys, time
 import numpy as np
 sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/scripts")
@@ -21,7 +25,7 @@ index = NNDescent(train, metric="euclidean", n_neighbors=20, random_state=42,
                             "global_iters": 2})
 index.prepare()
 np.asarray(index._search_graph[-1, -1])
-print(f"BUILD warm: {time.time()-t0:.1f}s", flush=True)
+print(f"BUILD (warm iff compile cache was populated): {time.time()-t0:.1f}s", flush=True)
 
 rs = np.random.RandomState(0)
 sample = jnp.asarray(rs.choice(n, 512, replace=False).astype(np.int32))
