@@ -242,7 +242,9 @@ def run_1m_workload(NNDescent, n=1_000_000, nq=10_000, d=128, k=10,
             start = jnp.minimum(s0, X.shape[0] - block)
             Xb = jax.lax.dynamic_slice_in_dim(X, start, block)
             ids = start + jnp.arange(block, dtype=jnp.int32)
-            d2 = q_sq + jnp.sum(Xb * Xb, axis=1)[None, :] - 2.0 * Q @ Xb.T
+            d2 = q_sq + jnp.sum(Xb * Xb, axis=1)[None, :] - 2.0 * jnp.matmul(
+            Q, Xb.T, precision=jax.lax.Precision.HIGHEST
+        )  # default (bf16) MXU precision shuffles near-tie ranks
             d2 = jnp.where(ids[None, :] >= s0, d2, jnp.inf)
             cd = jnp.concatenate([bd, d2], axis=1)
             ci = jnp.concatenate([bi, jnp.broadcast_to(ids[None], d2.shape)], axis=1)

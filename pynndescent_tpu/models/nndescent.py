@@ -923,21 +923,55 @@ class NNDescent:
                 "this index was built on sparse (padded-ELL) data; queries "
                 "must be scipy sparse matrices"
             )
-        qdtype = np.uint8 if self._is_bit else np.float32
-        q = np.ascontiguousarray(np.asarray(query_data, qdtype))
-        if q.ndim == 1:
-            q = q.reshape(1, -1)
-        _check_finite(q, "query data")
-        if self._ell is None:
+        # Device fast path: dense float queries already on device skip the
+        # host round-trip entirely (pull + re-upload of a 10k x 128 batch
+        # costs ~0.3-0.5 s through the tunnel — comparable to the search
+        # itself). The finite-check result is pulled AFTER the search is
+        # dispatched so its round-trip overlaps device compute; queries are
+        # sanitized first so a NaN can't stall the search while_loop.
+        finite_flag = None
+        dense_device = (
+            isinstance(query_data, jax.Array)
+            and query_data.ndim in (1, 2)
+            and self._ell is None
+            and self._sketch is None
+            and not self._is_bit
+            and not (
+                self._quantized is not None
+                and self._quantized["mode"] == "binary"
+            )
+        )
+        if dense_device:
+            q = query_data.astype(jnp.float32)
+            if q.ndim == 1:
+                q = q.reshape(1, -1)
             expected_dim = self._raw_data.shape[1]
             if q.shape[1] != expected_dim:
                 raise ValueError(
                     f"query data has {q.shape[1]} features but the index was "
                     f"built with {expected_dim}"
                 )
-        if self.metric in ("cosine", "dot") and self._ell is None:
-            norms = np.linalg.norm(q, axis=1, keepdims=True)
-            q = q / np.where(norms == 0.0, 1.0, norms)
+            finite_flag = jnp.all(jnp.isfinite(q))
+            q = jnp.where(jnp.isfinite(q), q, 0.0)
+            if self.metric in ("cosine", "dot"):
+                norms = jnp.linalg.norm(q, axis=1, keepdims=True)
+                q = q / jnp.where(norms == 0.0, 1.0, norms)
+        else:
+            qdtype = np.uint8 if self._is_bit else np.float32
+            q = np.ascontiguousarray(np.asarray(query_data, qdtype))
+            if q.ndim == 1:
+                q = q.reshape(1, -1)
+            _check_finite(q, "query data")
+            if self._ell is None:
+                expected_dim = self._raw_data.shape[1]
+                if q.shape[1] != expected_dim:
+                    raise ValueError(
+                        f"query data has {q.shape[1]} features but the index "
+                        f"was built with {expected_dim}"
+                    )
+            if self.metric in ("cosine", "dot") and self._ell is None:
+                norms = np.linalg.norm(q, axis=1, keepdims=True)
+                q = q / np.where(norms == 0.0, 1.0, norms)
 
         use_bf16 = getattr(self, "_X_search", None) is not None and not self._is_bit
         is_proxy = (
@@ -1042,6 +1076,12 @@ class NNDescent:
             idx, d = idx[:, :k], d[:, :k]
             if self._distance_correction is not None:
                 d = self._distance_correction(d)
+        if finite_flag is not None and not bool(finite_flag):
+            raise ValueError(
+                "Input query data contains NaN or infinity; NNDescent "
+                "requires finite values (matching sklearn check_array "
+                "semantics)."
+            )
         return idx, d
 
     def _rerank(self, queries, cand_idx, k, ell_queries=None):

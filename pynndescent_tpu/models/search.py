@@ -208,21 +208,31 @@ def search(
         tree_queries = jnp.asarray(tree_queries)
     out_idx, out_dist = [], []
     max_blk_steps = 0
-    # bucketed batching: full batches of batch_size, then power-of-two
-    # buckets for the tail, so a partial final batch doesn't pad (and pay)
-    # all the way up to batch_size
+    # batching: per-step cost is nearly batch-size independent (steps/batch
+    # ~35 at 2048 and at 8192, diag_1m_qprof), so a serial tail batch costs
+    # almost a full extra while_loop. Up to 2x batch_size, serve everything
+    # as ONE padded block (2048-multiple padding bounds compile variants);
+    # beyond that, full batches + power-of-two tail buckets.
     spans = []
-    pos = 0
-    while nq - pos >= batch_size:
-        spans.append((pos, pos + batch_size, batch_size))
-        pos += batch_size
-    rest = nq - pos
-    while rest > 0:
-        b = min(batch_size, max(256, 1 << (rest - 1).bit_length()))
-        take = min(rest, b)
-        spans.append((pos, pos + take, b))
-        pos += take
-        rest -= take
+    if nq <= min(2 * batch_size, 16384):
+        b = (
+            max(256, 1 << (nq - 1).bit_length())
+            if nq <= 2048
+            else -(-nq // 2048) * 2048
+        )
+        spans.append((0, nq, b))
+    else:
+        pos = 0
+        while nq - pos >= batch_size:
+            spans.append((pos, pos + batch_size, batch_size))
+            pos += batch_size
+        rest = nq - pos
+        while rest > 0:
+            b = min(batch_size, max(256, 1 << (rest - 1).bit_length()))
+            take = min(rest, b)
+            spans.append((pos, pos + take, b))
+            pos += take
+            rest -= take
     for s, e, b in spans:
         blk = queries[s:e]
         tblk = tree_queries[s:e] if tree_queries is not None else None

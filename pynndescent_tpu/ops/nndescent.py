@@ -747,17 +747,18 @@ def init_from_tree_order(
 )
 def _jit_window_sweep(
     state_p: NeighborState, Xp, *, win: int, m: int, metric: str,
-    use_pallas: bool = True, block_rows: int = 65536,
+    use_pallas: bool = True, block_rows: int = 65536, offset: int = 0,
 ):
     """Merge each point's exact within-window top-m into the state.
 
     ``state_p``/``Xp`` are in TREE-POSITION space (the locality-phase
     convention), so the kernel's position ids merge directly. Merged entries
-    arrive flagged "new" — the following join iterations explore them."""
+    arrive flagged "new" — the following join iterations explore them.
+    ``offset`` staggers the window boundaries (see window_topm)."""
     from pynndescent_tpu.ops import pallas_init as PI
 
     ids, dd = PI.window_topm(Xp, win=win, m=m, metric=metric,
-                             use_pallas=use_pallas)
+                             use_pallas=use_pallas, offset=offset)
     n = state_p.idx.shape[0]
     b = min(block_rows, n)
     n_blocks = -(-n // b)
@@ -795,8 +796,8 @@ def _sweep_ok(metric, metric_kwds, X) -> bool:
 
 def _resolve_locality(locality, n_state, n_x, forest, n_iters):
     """Resolve the ``locality`` option of nn_descent to
-    (window, phases, phase_iters, global_iters, refresh, sweep_win, sweep_m),
-    or None when disabled or inapplicable (no forest, mesh-padded state, or
+    (window, phases, phase_iters, global_iters, refresh, sweep_win, sweep_m,
+    sweep_stagger), or None when disabled or inapplicable (no forest, mesh-padded state, or
     table below the window)."""
     if locality is None or forest is None:
         return None
@@ -819,6 +820,10 @@ def _resolve_locality(locality, n_state, n_x, forest, n_iters):
     # phase's tree order, the gather-free form of local exploration
     sweep_win = int(locality.get("sweep", 0))
     sweep_m = int(locality.get("sweep_m", 32))
+    # second sweep per phase with window boundaries staggered by win/2:
+    # rescues true pairs cut by a slab boundary (the dominant correlated
+    # miss of sweep-only schedules) for ~one extra sweep's cost
+    sweep_stagger = bool(locality.get("sweep_stagger", True))
     if sweep_win and (sweep_win % 128 or not 256 <= sweep_win <= 1024):
         raise ValueError(
             "locality['sweep'] must be a multiple of 128 in [256, 1024]"
@@ -833,7 +838,8 @@ def _resolve_locality(locality, n_state, n_x, forest, n_iters):
     phases = min(phases, T)
     if phases <= 0 or (phase_iters <= 0 and not sweep_win):
         return None
-    return W, phases, phase_iters, global_iters, refresh, sweep_win, sweep_m
+    return (W, phases, phase_iters, global_iters, refresh, sweep_win,
+            sweep_m, sweep_stagger)
 
 
 def nn_descent(
@@ -980,7 +986,8 @@ def nn_descent(
 
     loc = _resolve_locality(locality, n, X.shape[0], forest if rp_tree_init else None, n_iters)
     if loc is not None:
-        W, phases, phase_iters, global_iters, refresh_flags, sweep_win, sweep_m = loc
+        (W, phases, phase_iters, global_iters, refresh_flags, sweep_win,
+         sweep_m, sweep_stagger) = loc
         if sweep_win and not _sweep_ok(metric, metric_kwds, X_join):
             sweep_win = 0
             if phase_iters <= 0:
@@ -997,6 +1004,11 @@ def nn_descent(
                     state, Xp, win=sweep_win, m=sweep_m, metric=metric,
                     use_pallas=use_pallas_sweep,
                 )
+                if sweep_stagger:
+                    state = _jit_window_sweep(
+                        state, Xp, win=sweep_win, m=sweep_m, metric=metric,
+                        use_pallas=use_pallas_sweep, offset=sweep_win // 2,
+                    )
             if phase_iters > 0:
                 state = _jit_descent_loop(
                     state, Xp,

@@ -171,21 +171,22 @@ def leaf_allpairs(X_t, leaf_starts, leaf_sizes, *, cap: int, metric: str,
     return dists[:n, :cap]
 
 
-def _window_topm_kernel(x_ref, ids_out, d_out, tile, idt, ddt, sems,
-                        *, win: int, m_pad: int, n_real: int, metric: str):
-    w = pl.program_id(0)
-    s = w * win
+def _window_topm_kernel(x_ref, ids_out, d_out,
+                        *, win: int, m_pad: int, n_real: int, off: int,
+                        metric: str):
+    # blocked formulation: Pallas streams the [win, d] input slab and the
+    # [win, m] output blocks through VMEM (double-buffered) — the full
+    # outputs are guaranteed HBM-resident regardless of n (a pl.ANY output
+    # was compiler-placed in VMEM at some n, OOMing the 16 MB scoped budget)
+    s = pl.program_id(0) * win
 
-    cp_x = pltpu.make_async_copy(x_ref.at[pl.ds(s, win), :], tile, sems.at[0])
-    cp_x.start()
-    cp_x.wait()
-
-    d = _tile_distances(tile[:, :].astype(jnp.float32), metric)
+    d = _tile_distances(x_ref[:, :].astype(jnp.float32), metric)
     col = jax.lax.broadcasted_iota(jnp.int32, (win, win), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (win, win), 0)
     d = jnp.where(col == row, jnp.inf, d)            # self-pairs
-    d = jnp.where(col + s >= n_real, jnp.inf, d)     # zero-padded tail rows
-    mrow = jax.lax.broadcasted_iota(jnp.int32, (m_pad, win), 0)
+    # zero-padded front (boundary-stagger offset) and tail rows
+    d = jnp.where((col + s < off) | (col + s - off >= n_real), jnp.inf, d)
+    mcol = jax.lax.broadcasted_iota(jnp.int32, (win, m_pad), 1)
 
     def step(i, carry):
         d_cur, ids_acc, d_acc = carry
@@ -193,33 +194,27 @@ def _window_topm_kernel(x_ref, ids_out, d_out, tile, idt, ddt, sems,
         # first column attaining the row minimum (tie-safe, no argmin op)
         amin = jnp.min(jnp.where(d_cur == cur[:, None], col, win), axis=1)
         valid = cur < jnp.inf
-        ids_row = jnp.where(valid, amin + s, -1)
-        ids_acc = jnp.where(mrow == i, ids_row[None, :], ids_acc)
-        d_acc = jnp.where(mrow == i, cur[None, :], d_acc)
+        ids_row = jnp.where(valid, amin + s - off, -1)
+        ids_acc = jnp.where(mcol == i, ids_row[:, None], ids_acc)
+        d_acc = jnp.where(mcol == i, cur[:, None], d_acc)
         d_cur = jnp.where(col == amin[:, None], jnp.inf, d_cur)
         return d_cur, ids_acc, d_acc
 
-    ids0 = jnp.full((m_pad, win), -1, jnp.int32)
-    dd0 = jnp.full((m_pad, win), jnp.inf, jnp.float32)
+    ids0 = jnp.full((win, m_pad), -1, jnp.int32)
+    dd0 = jnp.full((win, m_pad), jnp.inf, jnp.float32)
     _, ids_acc, d_acc = jax.lax.fori_loop(0, m_pad, step, (d, ids0, dd0))
-    idt[:, :] = ids_acc
-    ddt[:, :] = d_acc
-
-    cp_i = pltpu.make_async_copy(idt, ids_out.at[:, pl.ds(s, win)], sems.at[1])
-    cp_i.start()
-    cp_d = pltpu.make_async_copy(ddt, d_out.at[:, pl.ds(s, win)], sems.at[2])
-    cp_d.start()
-    cp_i.wait()
-    cp_d.wait()
+    ids_out[:, :] = ids_acc
+    d_out[:, :] = d_acc
 
 
-def _window_topm_xla(X_t, *, win: int, m: int, metric: str):
+def _window_topm_xla(X_t, *, win: int, m: int, metric: str, offset: int = 0):
     """XLA reference implementation of window_topm (CPU tests / fallback)."""
     from pynndescent_tpu.ops import distances as dists
 
     n, _ = X_t.shape
-    n_pad = -(-n // win) * win
-    Xp = jnp.pad(X_t, ((0, n_pad - n), (0, 0)))
+    n_off = n + offset
+    n_pad = -(-n_off // win) * win
+    Xp = jnp.pad(X_t, ((offset, n_pad - n_off), (0, 0)))
     nb = n_pad // win
 
     def body(w, carry):
@@ -229,9 +224,13 @@ def _window_topm_xla(X_t, *, win: int, m: int, metric: str):
         d = dists.pairwise(metric, tile.astype(jnp.float32))
         col = jax.lax.broadcasted_iota(jnp.int32, (win, win), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (win, win), 0)
-        d = jnp.where((col == row) | (col + s >= n), jnp.inf, d)
+        d = jnp.where(
+            (col == row) | (col + s < offset) | (col + s - offset >= n),
+            jnp.inf,
+            d,
+        )
         neg, pos = jax.lax.top_k(-d, m)
-        ids = jnp.where(neg > -jnp.inf, pos + s, -1)
+        ids = jnp.where(neg > -jnp.inf, pos + s - offset, -1)
         ids_all = jax.lax.dynamic_update_slice_in_dim(ids_all, ids, s, 0)
         d_all = jax.lax.dynamic_update_slice_in_dim(d_all, -neg, s, 0)
         return ids_all, d_all
@@ -239,18 +238,29 @@ def _window_topm_xla(X_t, *, win: int, m: int, metric: str):
     ids_all = jnp.full((n_pad, m), -1, jnp.int32)
     d_all = jnp.full((n_pad, m), jnp.inf, jnp.float32)
     ids_all, d_all = jax.lax.fori_loop(0, nb, body, (ids_all, d_all))
-    return ids_all[:n], d_all[:n]
+    return ids_all[offset : offset + n], d_all[offset : offset + n]
 
 
-@functools.partial(jax.jit, static_argnames=("win", "m", "metric", "use_pallas", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("win", "m", "metric", "use_pallas", "interpret", "offset"),
+)
 def window_topm(X_t, *, win: int, m: int, metric: str,
-                use_pallas: bool = True, interpret: bool = False):
+                use_pallas: bool = True, interpret: bool = False,
+                offset: int = 0):
     """Exact top-m neighbors within fixed contiguous [win]-row windows.
 
     X_t [n, d] — data permuted into a tree's leaf order, so each window is a
     spatial cell. Returns (ids i32[n, m], dists f32[n, m]) where ids are
     TREE POSITIONS (global, = window_start + column) and missing entries are
     (-1, +inf).
+
+    ``offset`` staggers the window boundaries: conceptually ``offset``
+    zero-pad rows are prepended before slicing windows, so the cut points
+    move from ``{0, win, 2*win, ...}`` to ``{win-offset, 2*win-offset, ...}``.
+    A second sweep at ``offset=win//2`` gives every tree-order-adjacent pair
+    cut by a boundary in the first sweep a window it shares — boundary
+    misses are the dominant correlated-miss mode of sweep-only schedules.
 
     This is the gather-free reformulation of the locality-windowed descent
     join (ops.nndescent._join_block): instead of sampling ~2c^2 candidate
@@ -267,47 +277,42 @@ def window_topm(X_t, *, win: int, m: int, metric: str,
         # the [win, win] distance tile lives in scoped VMEM (16 MB): 1024^2
         # f32 = 4 MB fits with headroom, 2048^2 = 16 MB OOMs the kernel
         raise ValueError(f"win must be <= 1024 (VMEM tile budget), got {win}")
+    if offset and not 0 < offset < win:
+        raise ValueError(f"offset must be in [0, win), got {offset}")
     m = min(m, win - 1)
     if not (HAVE_PALLAS and use_pallas):
-        return _window_topm_xla(X_t, win=win, m=m, metric=metric)
+        return _window_topm_xla(X_t, win=win, m=m, metric=metric,
+                                offset=offset)
     m_pad = -(-m // 8) * 8
     d_pad = -(-d // 128) * 128
     if d_pad != d:
         X_t = jnp.pad(X_t, ((0, 0), (0, d_pad - d)))
-    n_pad = -(-n // win) * win
-    if n_pad != n:
-        X_t = jnp.pad(X_t, ((0, n_pad - n), (0, 0)))
+    n_off = n + offset
+    n_pad = -(-n_off // win) * win
+    if n_pad != n_off or offset:
+        X_t = jnp.pad(X_t, ((offset, n_pad - n_off), (0, 0)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(n_pad // win,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((win, d_pad), X_t.dtype),
-            pltpu.VMEM((m_pad, win), jnp.int32),
-            pltpu.VMEM((m_pad, win), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )
     ids, dd = pl.pallas_call(
         functools.partial(
-            _window_topm_kernel, win=win, m_pad=m_pad, n_real=n, metric=metric
+            _window_topm_kernel, win=win, m_pad=m_pad, n_real=n, off=offset,
+            metric=metric,
         ),
-        grid_spec=grid_spec,
+        grid=(n_pad // win,),
+        in_specs=[pl.BlockSpec((win, d_pad), lambda w: (w, 0))],
+        out_specs=(
+            pl.BlockSpec((win, m_pad), lambda w: (w, 0)),
+            pl.BlockSpec((win, m_pad), lambda w: (w, 0)),
+        ),
         out_shape=(
-            jax.ShapeDtypeStruct((m_pad, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(X_t)
-    return ids[:m, :n].T, dd[:m, :n].T
+    return ids[offset : offset + n, :m], dd[offset : offset + n, :m]
 
 
 def leaf_tables_from_orders(starts, sizes, n: int, max_leaves: int):

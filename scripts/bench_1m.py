@@ -84,7 +84,9 @@ def exact_knn_device(Q, X, k, block=262144):
         start = jnp.minimum(s0, n - block)
         Xb = jax.lax.dynamic_slice_in_dim(X, start, block)
         ids = start + jnp.arange(block, dtype=jnp.int32)
-        d2 = q_sq + jnp.sum(Xb * Xb, axis=1)[None, :] - 2.0 * Q @ Xb.T
+        d2 = q_sq + jnp.sum(Xb * Xb, axis=1)[None, :] - 2.0 * jnp.matmul(
+            Q, Xb.T, precision=jax.lax.Precision.HIGHEST
+        )  # default (bf16) MXU precision shuffles near-tie ranks
         # the clamped final block overlaps the previous one; rows already
         # seen must not occupy a second top-k slot
         d2 = jnp.where(ids[None, :] >= s0, d2, jnp.inf)

@@ -51,7 +51,9 @@ def exact_knn_d(Q, X, kk, block=262144):
         start = jnp.minimum(s0, X.shape[0] - block)
         Xb = jax.lax.dynamic_slice_in_dim(X, start, block)
         ids = start + jnp.arange(block, dtype=jnp.int32)
-        d2 = q_sq + jnp.sum(Xb * Xb, axis=1)[None, :] - 2.0 * Q @ Xb.T
+        d2 = q_sq + jnp.sum(Xb * Xb, axis=1)[None, :] - 2.0 * jnp.matmul(
+            Q, Xb.T, precision=jax.lax.Precision.HIGHEST
+        )  # default (bf16) MXU precision shuffles near-tie ranks
         d2 = jnp.where(ids[None, :] >= s0, d2, jnp.inf)
         cd = jnp.concatenate([bd, d2], axis=1)
         ci = jnp.concatenate([bi, jnp.broadcast_to(ids[None], d2.shape)], axis=1)
@@ -92,12 +94,11 @@ print(f"query rank-10 boundary rel gap: median {np.median(qgap):.2e} "
 def eps_recall(found_ids, Q_host, dk_true, eps=1e-3):
     """ann-benchmarks convention: a returned id counts if its TRUE distance
     <= (1+eps) * the true k-th distance."""
-    hits = 0
-    for r in range(found_ids.shape[0]):
-        ds = np.linalg.norm(
-            np.asarray(train[found_ids[r]], np.float32) - Q_host[r], axis=1
-        )
-        hits += int((ds <= (1 + eps) * dk_true[r]).sum())
+    rows = np.asarray(  # one batched device gather, not one RTT per row
+        train[jnp.asarray(found_ids.ravel())], np.float32
+    ).reshape(*found_ids.shape, -1)
+    ds = np.linalg.norm(rows - Q_host[:, None, :], axis=-1)
+    hits = int((ds <= (1 + eps) * dk_true[:, None]).sum())
     return hits / (found_ids.shape[0] * k)
 
 

@@ -167,3 +167,40 @@ def test_expansion_default_pinned():
         ].default
         == 2
     )
+
+
+def test_device_array_queries_match_numpy(nn_data):
+    """Dense queries already on device take the no-host-round-trip fast
+    path; results must match the numpy path exactly, and non-finite device
+    queries must still be rejected (the check is deferred past the search
+    dispatch, not skipped)."""
+    import jax.numpy as jnp
+
+    from pynndescent_tpu import NNDescent
+
+    index = NNDescent(nn_data[:300], n_neighbors=8, random_state=42, n_trees=2)
+    q_np = nn_data[300:340].astype(np.float32)
+    i_host, d_host = index.query(q_np, k=5, epsilon=0.2)
+    i_dev, d_dev = index.query(jnp.asarray(q_np), k=5, epsilon=0.2)
+    np.testing.assert_array_equal(np.asarray(i_dev), np.asarray(i_host))
+    np.testing.assert_allclose(np.asarray(d_dev), np.asarray(d_host), rtol=1e-6)
+
+    bad = q_np.copy()
+    bad[2, 1] = np.nan
+    with pytest.raises(ValueError, match="NaN or infinity"):
+        index.query(jnp.asarray(bad), k=5, epsilon=0.2)
+
+
+def test_device_array_queries_cosine(nn_data):
+    """Device-path normalization (cosine) matches the host path."""
+    import jax.numpy as jnp
+
+    from pynndescent_tpu import NNDescent
+
+    index = NNDescent(
+        nn_data[:300], metric="cosine", n_neighbors=8, random_state=42, n_trees=2
+    )
+    q_np = nn_data[300:332].astype(np.float32)
+    i_host, _ = index.query(q_np, k=5, epsilon=0.2)
+    i_dev, _ = index.query(jnp.asarray(q_np), k=5, epsilon=0.2)
+    np.testing.assert_array_equal(np.asarray(i_dev), np.asarray(i_host))

@@ -148,6 +148,42 @@ def test_window_topm_pallas_interpret_matches_xla():
     assert agree > 0.999
 
 
+def test_window_topm_offset_matches_oracle():
+    """Staggered boundaries: offset=win//2 must equal the oracle computed on
+    a front-padded copy, with ids mapped back to unpadded positions."""
+    rs = np.random.RandomState(3)
+    n, win, m, off = 900, 256, 10, 128
+    X = rs.randn(n, 24).astype(np.float32) + 3.0  # keep rows away from 0-pad
+    ids, dd = pi.window_topm(jnp.asarray(X), win=win, m=m,
+                             metric="sqeuclidean", use_pallas=False,
+                             offset=off)
+    Xp = np.concatenate([np.zeros((off, 24), np.float32), X])
+    oid, od = _topm_oracle(Xp, win, m)
+    # drop the pad rows; pad columns (global pos < off) carry inf distance
+    # in the kernel and so never make top-m for rows that have >= m real
+    # in-window peers; compare distances where the oracle's pick is real
+    oid, od = oid[off:], od[off:]
+    real = oid >= off
+    np.testing.assert_allclose(
+        np.asarray(dd)[real], od[real], rtol=1e-4, atol=1e-5
+    )
+    agree = (np.asarray(ids)[real] == (oid - off)[real]).mean()
+    assert agree > 0.999
+
+
+def test_window_topm_offset_interpret_matches_xla():
+    rs = np.random.RandomState(4)
+    X = jnp.asarray(rs.randn(640, 16).astype(np.float32))
+    win, m, off = 256, 8, 128
+    xi, xd = pi.window_topm(X, win=win, m=m, metric="sqeuclidean",
+                            use_pallas=False, offset=off)
+    pi_, pd_ = pi.window_topm(X, win=win, m=m, metric="sqeuclidean",
+                              use_pallas=True, interpret=True, offset=off)
+    np.testing.assert_allclose(np.asarray(pd_), np.asarray(xd), rtol=1e-4, atol=1e-5)
+    agree = (np.asarray(pi_) == np.asarray(xi)).mean()
+    assert agree > 0.999
+
+
 def test_window_sweep_merges_exact_local_neighbors():
     """After one sweep, every point's state holds its exact within-window
     top-k (the sweep is exhaustive inside a window)."""
