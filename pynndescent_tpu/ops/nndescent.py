@@ -743,7 +743,8 @@ def init_from_tree_order(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win", "m", "metric", "use_pallas", "block_rows")
+    jax.jit,
+    static_argnames=("win", "m", "metric", "use_pallas", "block_rows", "offset"),
 )
 def _jit_window_sweep(
     state_p: NeighborState, Xp, *, win: int, m: int, metric: str,
