@@ -204,3 +204,22 @@ def test_device_array_queries_cosine(nn_data):
     i_host, _ = index.query(q_np, k=5, epsilon=0.2)
     i_dev, _ = index.query(jnp.asarray(q_np), k=5, epsilon=0.2)
     np.testing.assert_array_equal(np.asarray(i_dev), np.asarray(i_host))
+
+
+def test_phase_times_populated(nn_data):
+    """profile=True accumulates structured per-phase wall seconds across
+    build, prepare and query (SURVEY §5 tracing subsystem; VERDICT r3 #10)."""
+    from pynndescent_tpu import NNDescent
+
+    index = NNDescent(
+        nn_data[:300], n_neighbors=8, random_state=42, n_trees=2, profile=True
+    )
+    index.prepare()
+    index.query(nn_data[300:320], k=5, epsilon=0.2)
+    times = index.phase_times_
+    for key in ("forest", "descent", "prepare/diversify",
+                "prepare/search_tree", "query"):
+        assert key in times and times[key] >= 0.0, (key, times)
+    # disabled by default: no timing overhead state accumulates
+    cold = NNDescent(nn_data[:300], n_neighbors=8, random_state=42, n_trees=2)
+    assert cold.phase_times_ == {}
