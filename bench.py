@@ -1,7 +1,10 @@
 """Benchmark: index build + query throughput at a recall floor, on TPU.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+Prints ONE JSON line per completed stage — each line is the FULL cumulative
+result (all keys; zeros for workloads not yet run). The driver parses the
+tail of the output, so the last complete line always carries every number
+measured so far even if a later workload is killed from outside. The final
+line (after all workloads) has "partial" absent.
 
 Workloads (clustered vectors — ann-benchmarks datasets are clustered real
 data; iid gaussian has no neighbor structure and defeats every ANN method):
@@ -13,6 +16,12 @@ data; iid gaussian has no neighbor structure and defeats every ANN method):
   SIFT *and* GloVe-100 angular at equal memory; memory here is the raw f32
   matrix in both cases — no quantization, so memory parity with the
   reference's float index holds by construction).
+* mnist: 70k x 784 euclidean; sparse TF-IDF cosine + jaccard (50k x 100k);
+  sift1m: 1M x 128 euclidean; glove25: 1M x 25 angular.
+
+Each secondary workload runs under a signal.alarm time-box sized from the
+remaining global budget (BENCH_BUDGET_S, default 2700 s): one slow workload
+records an error and zeros instead of killing the whole bench.
 
 The run first executes an untimed warmup pass over identical shapes so the
 timings report steady-state device performance rather than XLA compilation
@@ -28,9 +37,25 @@ baseline constants") — both chosen to favor the CPU side.
 
 import json
 import os
+import signal
 import time
 
 import numpy as np
+
+BENCH_T0 = time.monotonic()
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2700))
+
+
+def remaining_budget():
+    return BENCH_BUDGET_S - (time.monotonic() - BENCH_T0)
+
+
+class StageTimeout(Exception):
+    pass
+
+
+def _alarm_handler(signum, frame):
+    raise StageTimeout("stage exceeded its time box")
 
 
 def make_data(n, nq, d, seed=42):
@@ -165,8 +190,31 @@ def run_sparse_workload(NNDescent, train, queries, k, epsilon, metric, seed):
     return build_s, qps, hits / (len(sample) * k)
 
 
+# The tuned 1M recipe (PERF_NOTES round-4/5): exact window sweeps over many
+# tree orders replace sampled windowed joins entirely — each sweep costs ~2%
+# of a join iteration — followed by two full-table join iterations to stitch
+# cross-window 2-hop families. Build at k=10 directly (the k=20 overfetch
+# predates the sweep kernel and the precise oracle; it buys nothing now).
+RECIPE_1M = dict(
+    n_iters=10,
+    beam_width=48,
+    locality={
+        "window": 65536,
+        "sweep": 1024,
+        "sweep_m": 32,
+        "phases": 12,
+        "phase_iters": 0,
+        "global_iters": 2,
+        # 12 independent tree orders already decorrelate slab boundaries;
+        # the staggered second sweep adds build time for no measured recall
+        # (diag_1m_sched post-oracle-fix: S12 nostag graph recall 0.9992)
+        "sweep_stagger": False,
+    },
+)
+
+
 def run_1m_workload(NNDescent, n=1_000_000, nq=10_000, d=128, k=10,
-                    build_k=20, epsilon=0.25, seed=42, metric="euclidean",
+                    build_k=10, epsilon=0.25, seed=42, metric="euclidean",
                     dz=16, **index_kwargs):
     """SIFT-1M-class workload (north star, BASELINE.json): 1M x 128
     euclidean. Data is generated ON DEVICE (clustered, 1000 centers) and
@@ -181,9 +229,7 @@ def run_1m_workload(NNDescent, n=1_000_000, nq=10_000, d=128, k=10,
     measurement") — numbers before/after the generator swap are not
     comparable. Set dz=0 for the old isotropic generator.
 
-    The graph is built at ``build_k`` and queried at k=10 (the
-    ann-benchmarks operating point). Build timed once (compile cache
-    amortizes across rounds)."""
+    Build timed once (compile cache amortizes across rounds)."""
     import functools
 
     import jax
@@ -214,14 +260,7 @@ def run_1m_workload(NNDescent, n=1_000_000, nq=10_000, d=128, k=10,
     np.asarray(train[-1, -1])
 
     t0 = time.perf_counter()
-    # recipe re-tuned on the dz=16 latent generator (PERF_NOTES round-4
-    # "1M re-tune"): locality-windowed descent + beam wide enough to hold
-    # recall@10 >= 0.95 at the qps target
-    kwargs = dict(
-        n_iters=10, beam_width=96,
-        locality={"window": 65536, "phases": 2, "phase_iters": 5,
-                  "global_iters": 2},
-    )
+    kwargs = dict(RECIPE_1M)
     kwargs.update(index_kwargs)
     index = NNDescent(
         train, metric=metric, n_neighbors=build_k, random_state=seed, **kwargs
@@ -281,16 +320,19 @@ def run_1m_workload(NNDescent, n=1_000_000, nq=10_000, d=128, k=10,
     # ann-benchmarks convention (its plots are the reference's standing):
     # a returned id also counts when its TRUE distance is within (1+1e-3)
     # of the true k-th — the tie tolerance their harness applies, needed
-    # because rank-10 boundaries at 1M scale are dominated by near-ties
+    # because rank-10 boundaries at 1M scale are dominated by near-ties.
+    # Reported under *_recall_eps; the legacy *_recall_at_10 keys stay
+    # STRICT so cross-round comparisons hold (ADVICE r4).
     Qe = np.asarray(Qe_dev, np.float32)
     dk = np.linalg.norm(
         np.asarray(Xe[jnp.asarray(true_q[:, -1])], np.float32) - Qe, axis=1
     )
     found = idx[sample, :k]
-    rows = np.asarray(Xe[jnp.asarray(found.ravel())], np.float32).reshape(
+    rows = np.asarray(Xe[jnp.asarray(np.maximum(found.ravel(), 0))], np.float32).reshape(
         len(sample), k, -1
     )
     ok = np.linalg.norm(rows - Qe[:, None, :], axis=-1) <= (1 + 1e-3) * dk[:, None]
+    ok &= found >= 0  # empty slots (-1) must not count as tolerant hits
     for j, s in enumerate(sample):
         ok[j] |= np.isin(found[j], true_q[j])
     return build_s, qps, float(ok.mean()), strict
@@ -309,6 +351,84 @@ def main():
     n, nq, k = 100_000, 10_000, 10
     epsilon = 0.2
 
+    # CPU reference constants; derivation in BASELINE.md
+    baseline_build_s = 30.0
+    baseline_qps = 4000.0
+    baseline_mnist_build_s = 25.0
+    baseline_mnist_qps = 5000.0
+    baseline_sparse_build_s = 60.0
+    baseline_sparse_qps = 2000.0
+    baseline_1m_build_s = 300.0
+    baseline_1m_qps = 4000.0
+
+    errors = {}
+    res = {
+        "metric": "query_qps_100k_128_k10_recall95",
+        "value": 0.0,
+        "unit": "queries/s",
+        "vs_baseline": 0.0,
+        "recall_at_10": 0.0,
+        "build_seconds": 0.0,
+        "build_vs_baseline": 0.0,
+        "angular_qps": 0.0,
+        "angular_recall_at_10": 0.0,
+        "angular_build_seconds": 0.0,
+        "mnist_qps": 0.0,
+        "mnist_recall_at_10": 0.0,
+        "mnist_build_seconds": 0.0,
+        "mnist_qps_vs_baseline": 0.0,
+        "mnist_build_vs_baseline": 0.0,
+        "sparse_cosine_qps": 0.0,
+        "sparse_cosine_recall_at_10": 0.0,
+        "sparse_cosine_build_seconds": 0.0,
+        "sparse_cosine_qps_vs_baseline": 0.0,
+        "sparse_cosine_build_vs_baseline": 0.0,
+        "sparse_jaccard_qps": 0.0,
+        "sparse_jaccard_recall_at_10": 0.0,
+        "sparse_jaccard_build_seconds": 0.0,
+        "sift1m_qps": 0.0,
+        "sift1m_recall_at_10": 0.0,
+        "sift1m_recall_eps": 0.0,
+        "sift1m_build_seconds": 0.0,
+        "sift1m_qps_vs_baseline": 0.0,
+        "sift1m_build_vs_baseline": 0.0,
+        "glove25_qps": 0.0,
+        "glove25_recall_at_10": 0.0,
+        "glove25_recall_eps": 0.0,
+        "glove25_build_seconds": 0.0,
+        "errors": errors,
+        "epsilon": epsilon,
+        "device": str(jax.devices()[0]),
+        "partial": True,
+    }
+
+    def ratio(a, b):
+        return round(a / b, 3) if b > 0 else 0.0
+
+    def emit(final=False):
+        if final:
+            res.pop("partial", None)
+        print(json.dumps(res), flush=True)
+
+    def guarded(name, fn, zeros, box_s):
+        """Run one secondary workload under a time box bounded by the global
+        budget. On any failure — including the alarm — record the error and
+        return zeros so the bench always reaches its final line."""
+        box = min(box_s, remaining_budget())
+        if box < 30:
+            errors[name] = f"skipped: {remaining_budget():.0f}s budget left"
+            return zeros
+        old = signal.signal(signal.SIGALRM, _alarm_handler)
+        signal.alarm(int(box))
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            return zeros
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
     # ---- warmup: compile every program at the benchmark shapes ----
     for d_w, metric in ((128, "euclidean"), (100, "cosine")):
         wtrain, wq = make_data(n, nq, d_w, seed=7)
@@ -320,24 +440,25 @@ def main():
     build_s, qps, recall = run_workload(
         NNDescent, train, queries, k, epsilon, "euclidean", 42
     )
+    res.update(
+        value=round(qps, 1),
+        vs_baseline=round(qps / baseline_qps, 3),
+        recall_at_10=round(recall, 4),
+        build_seconds=round(build_s, 2),
+        build_vs_baseline=ratio(baseline_build_s, build_s),
+    )
+    emit()
 
     a_train, a_queries = make_data(n, nq, 100, seed=43)
     a_build_s, a_qps, a_recall = run_workload(
         NNDescent, a_train, a_queries, k, epsilon, "cosine", 44
     )
-
-    # Secondary workloads never break the primary metric line: on failure
-    # (e.g. transient HBM pressure on the shared chip) they report zeros,
-    # and the exception text is recorded in the JSON under `errors` so a
-    # real regression (OOM, shape error) is distinguishable from "slow".
-    errors = {}
-
-    def guarded(name, fn):
-        try:
-            return fn()
-        except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            return 0.0, 0.0, 0.0
+    res.update(
+        angular_qps=round(a_qps, 1),
+        angular_recall_at_10=round(a_recall, 4),
+        angular_build_seconds=round(a_build_s, 2),
+    )
+    emit()
 
     # ---- MNIST-class dense workload: 70k x 784 euclidean (BASELINE.json
     # names the ann-benchmarks MNIST-784 config; doc/mnist.png) ----
@@ -347,7 +468,16 @@ def main():
             NNDescent, *make_data(70_000, nq, 784, seed=45), k, epsilon,
             "euclidean", 46
         ),
+        (0.0, 0.0, 0.0), 900,
     )
+    res.update(
+        mnist_qps=round(m_qps, 1),
+        mnist_recall_at_10=round(m_recall, 4),
+        mnist_build_seconds=round(m_build_s, 2),
+        mnist_qps_vs_baseline=round(m_qps / baseline_mnist_qps, 3),
+        mnist_build_vs_baseline=ratio(baseline_mnist_build_s, m_build_s),
+    )
+    emit()
 
     # ---- sparse TF-IDF workload: 50k docs x 100k features, nnz 64,
     # cosine + jaccard over the true sparse (packed-ELL) path ----
@@ -362,97 +492,64 @@ def main():
             lambda: run_sparse_workload(
                 NNDescent, s_train, s_queries, k, 0.3, "cosine", 48
             ),
+            (0.0, 0.0, 0.0), 900,
         )
+        res.update(
+            sparse_cosine_qps=round(s_qps, 1),
+            sparse_cosine_recall_at_10=round(s_recall, 4),
+            sparse_cosine_build_seconds=round(s_build_s, 2),
+            sparse_cosine_qps_vs_baseline=round(s_qps / baseline_sparse_qps, 3),
+            sparse_cosine_build_vs_baseline=ratio(baseline_sparse_build_s, s_build_s),
+        )
+        emit()
         j_build_s, j_qps, j_recall = guarded(
             "sparse_jaccard",
             lambda: run_sparse_workload(
                 NNDescent, s_train, s_queries, k, 0.3, "jaccard", 49
             ),
+            (0.0, 0.0, 0.0), 600,
         )
-    else:
-        s_build_s = s_qps = s_recall = j_build_s = j_qps = j_recall = 0.0
+        res.update(
+            sparse_jaccard_qps=round(j_qps, 1),
+            sparse_jaccard_recall_at_10=round(j_recall, 4),
+            sparse_jaccard_build_seconds=round(j_build_s, 2),
+        )
+        emit()
 
     # ---- 1M x 128 euclidean: the BASELINE.json north star scale ----
-    def guarded4(name, fn):
-        try:
-            return fn()
-        except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            return 0.0, 0.0, 0.0, 0.0
-
     if os.environ.get("BENCH_SKIP_1M") == "1":
-        m1_build_s, m1_qps, m1_recall, m1_strict = 0.0, 0.0, 0.0, 0.0
         errors["sift1m"] = "skipped via BENCH_SKIP_1M"
     else:
-        m1_build_s, m1_qps, m1_recall, m1_strict = guarded4(
-            "sift1m", lambda: run_1m_workload(NNDescent)
+        m1_build_s, m1_qps, m1_eps, m1_strict = guarded(
+            "sift1m", lambda: run_1m_workload(NNDescent),
+            (0.0, 0.0, 0.0, 0.0), 1200,
         )
+        res.update(
+            sift1m_qps=round(m1_qps, 1),
+            sift1m_recall_at_10=round(m1_strict, 4),
+            sift1m_recall_eps=round(m1_eps, 4),
+            sift1m_build_seconds=round(m1_build_s, 2),
+            sift1m_qps_vs_baseline=round(m1_qps / baseline_1m_qps, 3),
+            sift1m_build_vs_baseline=ratio(baseline_1m_build_s, m1_build_s),
+        )
+        emit()
 
     # ---- GloVe-25-class: 1M x 25 angular ----
     if os.environ.get("BENCH_SKIP_GLOVE25") == "1":
-        g_build_s, g_qps, g_recall, g_strict = 0.0, 0.0, 0.0, 0.0
         errors["glove25"] = "skipped via BENCH_SKIP_GLOVE25"
     else:
-        g_build_s, g_qps, g_recall, g_strict = guarded4(
+        g_build_s, g_qps, g_eps, g_strict = guarded(
             "glove25",
             lambda: run_1m_workload(NNDescent, d=25, metric="cosine", seed=52),
+            (0.0, 0.0, 0.0, 0.0), 1200,
         )
-
-    # CPU reference constants; derivation in BASELINE.md
-    baseline_build_s = 30.0
-    baseline_qps = 4000.0
-    baseline_mnist_build_s = 25.0
-    baseline_mnist_qps = 5000.0
-    baseline_sparse_build_s = 60.0
-    baseline_sparse_qps = 2000.0
-    baseline_1m_build_s = 300.0
-    baseline_1m_qps = 4000.0
-
-    def ratio(a, b):
-        return round(a / b, 3) if b > 0 else 0.0
-
-    print(
-        json.dumps(
-            {
-                "metric": "query_qps_100k_128_k10_recall95",
-                "value": round(qps, 1),
-                "unit": "queries/s",
-                "vs_baseline": round(qps / baseline_qps, 3),
-                "recall_at_10": round(recall, 4),
-                "build_seconds": round(build_s, 2),
-                "build_vs_baseline": round(baseline_build_s / build_s, 3),
-                "angular_qps": round(a_qps, 1),
-                "angular_recall_at_10": round(a_recall, 4),
-                "angular_build_seconds": round(a_build_s, 2),
-                "mnist_qps": round(m_qps, 1),
-                "mnist_recall_at_10": round(m_recall, 4),
-                "mnist_build_seconds": round(m_build_s, 2),
-                "mnist_qps_vs_baseline": round(m_qps / baseline_mnist_qps, 3),
-                "mnist_build_vs_baseline": ratio(baseline_mnist_build_s, m_build_s),
-                "sparse_cosine_qps": round(s_qps, 1),
-                "sparse_cosine_recall_at_10": round(s_recall, 4),
-                "sparse_cosine_build_seconds": round(s_build_s, 2),
-                "sparse_cosine_qps_vs_baseline": round(s_qps / baseline_sparse_qps, 3),
-                "sparse_cosine_build_vs_baseline": ratio(baseline_sparse_build_s, s_build_s),
-                "sparse_jaccard_qps": round(j_qps, 1),
-                "sparse_jaccard_recall_at_10": round(j_recall, 4),
-                "sparse_jaccard_build_seconds": round(j_build_s, 2),
-                "sift1m_qps": round(m1_qps, 1),
-                "sift1m_recall_at_10": round(m1_recall, 4),
-                "sift1m_recall_strict": round(m1_strict, 4),
-                "sift1m_build_seconds": round(m1_build_s, 2),
-                "sift1m_qps_vs_baseline": round(m1_qps / baseline_1m_qps, 3),
-                "sift1m_build_vs_baseline": ratio(baseline_1m_build_s, m1_build_s),
-                "glove25_qps": round(g_qps, 1),
-                "glove25_recall_at_10": round(g_recall, 4),
-                "glove25_recall_strict": round(g_strict, 4),
-                "glove25_build_seconds": round(g_build_s, 2),
-                "errors": errors,
-                "epsilon": epsilon,
-                "device": str(jax.devices()[0]),
-            }
+        res.update(
+            glove25_qps=round(g_qps, 1),
+            glove25_recall_at_10=round(g_strict, 4),
+            glove25_recall_eps=round(g_eps, 4),
+            glove25_build_seconds=round(g_build_s, 2),
         )
-    )
+    emit(final=True)
 
 
 if __name__ == "__main__":

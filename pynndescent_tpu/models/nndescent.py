@@ -270,8 +270,15 @@ class NNDescent:
             data = np.ascontiguousarray(np.asarray(data, dtype=np.float32))
             self._input_dtype = np.float32
             _check_finite(data, "data")
-        if data.ndim == 1:
-            data = data.reshape(-1, 1)
+        if data.ndim != 2:
+            # match sklearn check_array(ensure_2d=True), which the reference
+            # routes every input through (pynndescent_.py:1041-1057)
+            raise ValueError(
+                f"Expected 2D array, got {data.ndim}D array instead. "
+                "Reshape your data either using array.reshape(-1, 1) if it "
+                "has a single feature or array.reshape(1, -1) if it "
+                "contains a single sample."
+            )
         n = data.shape[0]
         self.dim = data.shape[1]
 
@@ -394,6 +401,20 @@ class NNDescent:
                     )
                 from pynndescent_tpu.parallel import mesh as mesh_mod
 
+                dropped = [
+                    name
+                    for name, val, default in (
+                        ("build_dtype", build_dtype, None),
+                        ("locality", self.locality, "auto"),
+                        ("block_rows", block_rows, nnd_ops.DEFAULT_BLOCK_ROWS),
+                    )
+                    if val != default
+                ]
+                if dropped:
+                    warnings.warn(
+                        f"devices=/mesh builds do not support {dropped} yet; "
+                        "the options are ignored"
+                    )
                 idx, dist_internal = mesh_mod.sharded_nn_descent(
                     self._X,
                     self._build_k,
@@ -1052,6 +1073,7 @@ class NNDescent:
                 dist_rowwise=dist_rowwise,
                 tree_queries=tree_q_dev,
                 ell=ell_widths,
+                expansions_per_step=int(expansions_per_step),
             )
         else:
             idx, d = search_ops.search(
@@ -1315,27 +1337,53 @@ class NNDescent:
         from pynndescent_tpu.ops.neighbors import state_from_graph
 
         init_state = state_from_graph(jnp.asarray(idx), jnp.asarray(dist), k=k)
-        new_idx, new_dist = nnd_ops.nn_descent(
-            self._X,
-            getattr(self, "_build_k", self.n_neighbors),
-            self._key,
-            metric=self._internal_metric,
-            metric_kwds=self._internal_metric_kwds,
-            n_iters=self.n_iters,
-            delta=self.delta,
-            max_candidates=self.max_candidates,
-            init_graph=init_state,
-            forest=forest,
-            leaf_cap=min(self.leaf_size, 64),
-            block_rows=self.block_rows,
-            compute_dtype=(
-                jnp.bfloat16
-                if getattr(self, "build_dtype", None) == "bfloat16"
-                else None
-            ),
-            locality=getattr(self, "locality", None),
-            verbose=self.verbose,
-        )
+        if self._mesh is not None:
+            # the update's re-descent runs under the same parallelism as the
+            # build (reference analog: update under the build's threading,
+            # pynndescent_.py:2381-2553)
+            from pynndescent_tpu.parallel import mesh as mesh_mod
+
+            if self.shard_data:
+                raise NotImplementedError(
+                    "update() is not supported with shard_data=True builds "
+                    "yet; rebuild the index instead"
+                )
+            new_idx, new_dist = mesh_mod.sharded_nn_descent(
+                self._X,
+                getattr(self, "_build_k", self.n_neighbors),
+                self._key,
+                self._mesh,
+                metric=self._internal_metric,
+                metric_kwds=self._internal_metric_kwds,
+                n_iters=self.n_iters,
+                delta=self.delta,
+                max_candidates=self.max_candidates,
+                forest=forest,
+                leaf_cap=min(self.leaf_size, 64),
+                init_state=init_state,
+            )
+        else:
+            new_idx, new_dist = nnd_ops.nn_descent(
+                self._X,
+                getattr(self, "_build_k", self.n_neighbors),
+                self._key,
+                metric=self._internal_metric,
+                metric_kwds=self._internal_metric_kwds,
+                n_iters=self.n_iters,
+                delta=self.delta,
+                max_candidates=self.max_candidates,
+                init_graph=init_state,
+                forest=forest,
+                leaf_cap=min(self.leaf_size, 64),
+                block_rows=self.block_rows,
+                compute_dtype=(
+                    jnp.bfloat16
+                    if getattr(self, "build_dtype", None) == "bfloat16"
+                    else None
+                ),
+                locality=getattr(self, "locality", None),
+                verbose=self.verbose,
+            )
         self._neighbor_graph = (new_idx, new_dist)
         self._incomplete_dev = jnp.any(jnp.asarray(new_idx) < 0)
         self._warned_incomplete = False

@@ -214,7 +214,12 @@ def search(
     # as ONE padded block (2048-multiple padding bounds compile variants);
     # beyond that, full batches + power-of-two tail buckets.
     spans = []
-    if nq <= min(2 * batch_size, 16384):
+    if nq == batch_size:
+        # caller already sized the block (e.g. parallel.mesh.sharded_search
+        # passes pre-padded mesh-sharded chunks whose row count keeps the
+        # query axis evenly sharded — rounding it up would reshard the batch)
+        spans.append((0, nq, nq))
+    elif nq <= min(2 * batch_size, 16384):
         b = (
             max(256, 1 << (nq - 1).bit_length())
             if nq <= 2048

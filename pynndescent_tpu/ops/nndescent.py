@@ -690,7 +690,12 @@ def _pallas_init_ok(metric, metric_kwds, X, leaf_cap: int) -> bool:
         and metric in PI.PALLAS_INIT_METRICS
         and not metric_kwds
         and X.dtype == jnp.float32
-        and X.shape[1] <= 512  # Mosaic compile fails on very wide tiles
+        # the scalar-prefetch DMA kernel only compiles at d<=128 on the
+        # current toolchain (probed r5: d=128 OK, d>=256 fails in Mosaic
+        # regardless of n/cap — the [cap, d] VMEM tiles are tiny, so it is
+        # a compiler limit, not a VMEM one); wider data takes the XLA
+        # gather init, and a runtime try/except below catches drift
+        and X.shape[1] <= 128
         and _pallas_init_max_leaves(X.shape[0], leaf_cap) is not None
         and jax.default_backend() in ("tpu", "axon")
     )
@@ -791,8 +796,23 @@ def _sweep_ok(metric, metric_kwds, X) -> bool:
         and metric in PI.PALLAS_INIT_METRICS
         and not metric_kwds
         and X.dtype in (jnp.float32, jnp.bfloat16)
-        and X.shape[1] <= 512
+        # VMEM budget: the [win, win] distance tile + the input slab + the
+        # select-loop temporaries. Probed r5 on v5e: win=1024 compiles up
+        # to d=384 and win=512 up to d>=1024, so nn_descent clamps the
+        # window to 512 for wider data (see _sweep_win_for_d); beyond 1024
+        # features fall back to windowed joins
+        and X.shape[1] <= 1024
     )
+
+
+def _sweep_win_for_d(sweep_win: int, d: int) -> int:
+    """Clamp the sweep window for wide features: at win=1024 the Mosaic
+    VMEM budget holds only to d=384 (measured, see _sweep_ok); win=512
+    compiles through d=1024 with the identical exact-top-m semantics —
+    smaller slabs simply mean more, cheaper windows per sweep."""
+    if d > 384 and sweep_win > 512:
+        return 512
+    return sweep_win
 
 
 def _resolve_locality(locality, n_state, n_x, forest, n_iters):
@@ -807,7 +827,18 @@ def _resolve_locality(locality, n_state, n_x, forest, n_iters):
     if locality == "auto":
         if n_x < 400_000:
             return None
-        locality = {}
+        # Tuned large-table schedule (PERF_NOTES round-4/5): exact window
+        # sweeps over many tree orders dominate sampled windowed joins —
+        # every extra tree order is an independent chance for a true pair
+        # to share a slab, at ~2% of a join iteration's cost — followed by
+        # a short global polish to stitch cross-window 2-hop families.
+        # When the sweep kernel doesn't apply (non-gram metric, wide d),
+        # _sweep_ok below falls back to windowed-join phase iterations.
+        # (12 independent tree orders already decorrelate slab boundaries,
+        # so the staggered second sweep per phase is off: diag_1m_sched
+        # post-oracle-fix measures S12-no-stagger at graph recall 0.9992)
+        locality = {"sweep": 1024, "phases": 12, "phase_iters": 0,
+                    "global_iters": 2, "sweep_stagger": False}
     elif not isinstance(locality, dict):
         raise ValueError("locality must be None, 'auto', or a dict")
     W = int(locality.get("window", 65536))
@@ -992,7 +1023,12 @@ def nn_descent(
         if sweep_win and not _sweep_ok(metric, metric_kwds, X_join):
             sweep_win = 0
             if phase_iters <= 0:
+                # a sweep-only schedule (many cheap phases) degrades to the
+                # windowed-join schedule shape: few phases x several iters
                 phase_iters = max(4, n_iters // 2)
+                phases = min(phases, 2)
+        if sweep_win:
+            sweep_win = _sweep_win_for_d(sweep_win, X_join.shape[1])
         use_pallas_sweep = jax.default_backend() in ("tpu", "axon")
         orders = forest[0]
         T = int(orders.shape[0])
@@ -1001,10 +1037,21 @@ def nn_descent(
             state = _state_to_tree_order(state, order)
             Xp = _jit_permute_rows(X_join, order)
             if sweep_win:
-                state = _jit_window_sweep(
-                    state, Xp, win=sweep_win, m=sweep_m, metric=metric,
-                    use_pallas=use_pallas_sweep,
-                )
+                try:
+                    state = _jit_window_sweep(
+                        state, Xp, win=sweep_win, m=sweep_m, metric=metric,
+                        use_pallas=use_pallas_sweep,
+                    )
+                except Exception:
+                    # Mosaic compile drift on an unusual (win, d) point: the
+                    # XLA window sweep computes the identical exact top-m
+                    if not use_pallas_sweep:
+                        raise
+                    use_pallas_sweep = False
+                    state = _jit_window_sweep(
+                        state, Xp, win=sweep_win, m=sweep_m, metric=metric,
+                        use_pallas=False,
+                    )
                 if sweep_stagger:
                     state = _jit_window_sweep(
                         state, Xp, win=sweep_win, m=sweep_m, metric=metric,

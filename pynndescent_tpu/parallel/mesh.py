@@ -83,6 +83,7 @@ def sharded_nn_descent(
     block_rows: int | None = None,
     axis_name: str = "data",
     shard_data: bool = False,
+    init_state=None,
 ):
     """NN-descent with vertex-sharded state over ``mesh``.
 
@@ -93,8 +94,18 @@ def sharded_nn_descent(
     ``shard_data=True`` additionally shards X's rows over the mesh —
     the >per-device-HBM regime — and streams candidate point blocks around
     the ICI ring per join tile (see ``_sharded_data_nn_descent``).
+
+    ``init_state`` warm-starts from an existing NeighborState of n rows
+    (the mesh analog of nn_descent's init_graph — NNDescent.update() routes
+    its re-descent through this, matching the reference's update running
+    under the same parallelism as the build, pynndescent_.py:2381-2553).
     """
     if shard_data:
+        if init_state is not None:
+            raise NotImplementedError(
+                "init_state warm starts are not supported with "
+                "shard_data=True builds yet"
+            )
         return _sharded_data_nn_descent(
             X, n_neighbors, key, mesh,
             metric=metric, metric_kwds=metric_kwds, n_iters=n_iters,
@@ -139,9 +150,24 @@ def sharded_nn_descent(
             lambda a: jax.lax.with_sharding_constraint(a, row_sharding), state
         )
 
+    if init_state is not None:
+        # pad the warm-start rows up to mesh divisibility; pad rows are
+        # empty and merge nothing (ops mask rows >= n)
+        pad = n_pad - init_state.idx.shape[0]
+        if pad:
+            init_state = type(init_state)(
+                jnp.pad(init_state.idx, ((0, pad), (0, 0)), constant_values=-1),
+                jnp.pad(init_state.dist, ((0, pad), (0, 0)),
+                        constant_values=jnp.inf),
+                jnp.pad(init_state.flag, ((0, pad), (0, 0))),
+            )
+        init_state = jax.device_put(init_state, row_sharding)
+
     @functools.partial(jax.jit, static_argnames=("has_forest",))
-    def _build(X, forest, key, has_forest):
-        state = constrain(make_neighbor_state(n_pad, k))
+    def _build(X, forest, key, init, has_forest):
+        state = constrain(
+            make_neighbor_state(n_pad, k) if init is None else init
+        )
         if has_forest:
             orders, starts, sizes = forest
 
@@ -175,9 +201,9 @@ def sharded_nn_descent(
         return sort_by_distance(state.idx, state.dist)
 
     if forest is not None:
-        idx, dist = _build(X, forest, key, has_forest=True)
+        idx, dist = _build(X, forest, key, init_state, has_forest=True)
     else:
-        idx, dist = _build(X, None, key, has_forest=False)
+        idx, dist = _build(X, None, key, init_state, has_forest=False)
     return idx[:n], dist[:n]
 
 
@@ -662,7 +688,7 @@ def _sharded_data_nn_descent(
 def sharded_search(queries, X, adj, tree, key, mesh, *, k, epsilon=0.1,
                    min_distance=0.0, beam_width=None, dist_rowwise=None,
                    axis_name: str = "data", per_device_batch: int = 8192,
-                   tree_queries=None, ell=None):
+                   tree_queries=None, ell=None, expansions_per_step: int = 2):
     """Query search with the query batch sharded over the mesh (data-parallel
     serving: each device runs the beam loop on its query shard against the
     replicated index). On a 2-D mesh the queries shard over the *outer*
@@ -719,6 +745,7 @@ def sharded_search(queries, X, adj, tree, key, mesh, *, k, epsilon=0.1,
             k=k, epsilon=epsilon, min_distance=min_distance,
             beam_width=beam_width, dist_rowwise=dist_rowwise,
             batch_size=blk.shape[0], tree_queries=tq_blk, ell=ell,
+            expansions_per_step=expansions_per_step,
         )
         out_idx.append(np.asarray(bi)[:rows])
         out_dist.append(np.asarray(bd)[:rows])

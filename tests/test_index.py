@@ -223,3 +223,16 @@ def test_phase_times_populated(nn_data):
     # disabled by default: no timing overhead state accumulates
     cold = NNDescent(nn_data[:300], n_neighbors=8, random_state=42, n_trees=2)
     assert cold.phase_times_ == {}
+
+
+def test_one_dimensional_data_rejected(nn_data):
+    """1-D input raises like sklearn check_array(ensure_2d=True), which the
+    reference routes every input through (pynndescent_.py:1041-1057)."""
+    import pytest
+
+    from pynndescent_tpu import NNDescent
+
+    with pytest.raises(ValueError, match="Expected 2D array"):
+        NNDescent(np.float32([1.0, 2.0, 3.0]), n_neighbors=2)
+    with pytest.raises(ValueError, match="Expected 2D array"):
+        NNDescent(nn_data.reshape(-1), n_neighbors=2)
