@@ -998,6 +998,17 @@ def nn_descent(
                     raise
                 use_pallas = False
         if not use_pallas:
+            if verbose and init_kernel in ("auto", "pallas"):
+                # say WHY the kernel was skipped — a silent fallback at an
+                # unusual leaf_size (e.g. leaf 16 at 5M rows overflows the
+                # SMEM leaf-table budget) looks like a perf regression
+                if _pallas_init_max_leaves(X.shape[0], leaf_cap) is None:
+                    print(
+                        "Pallas leaf-init skipped: leaf table exceeds the "
+                        "SMEM budget (n/leaf_cap too large); using XLA init"
+                    )
+                else:
+                    print("Pallas leaf-init unavailable; using XLA gather init")
             d_bytes = int(np.prod(X.shape[1:])) * X.dtype.itemsize
             # bound the gathered [b, T*cap, d] candidate tile to ~4 GB; row
             # gathers run several times faster at wide blocks, so prefer the

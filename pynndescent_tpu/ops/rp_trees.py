@@ -464,14 +464,21 @@ def _fast_forest_orders(X, seeds, leaf_size: int, max_depth: int, angular: bool)
 
         return body
 
-    stage1_depth = min(max_depth, 11)
+    # Geometric table staging: the scatter-add cost grows with table size
+    # (0.16 s/level at [T, 2^11] vs 0.77 s at [T, 2^19], n=1M) while node
+    # ids at level l only need a 2^(l+1) table — so levels past the base
+    # stage run in 2-level stages whose table is just big enough. Mean
+    # splits freeze (early-exit) ~4 levels below the slack-padded
+    # max_depth, so the full-size table is usually never touched at all.
+    # Table contents per level are identical at any size (extra entries
+    # stay zero), so staging changes wall-clock only, not results.
+    stage_depths = [min(max_depth, 11)]
+    while stage_depths[-1] < max_depth:
+        stage_depths.append(min(max_depth, stage_depths[-1] + 2))
     carry = (jnp.int32(0), jnp.zeros((T, n), jnp.int32), jnp.bool_(True))
-    carry = jax.lax.while_loop(
-        lambda c: (c[0] < stage1_depth) & c[2], make_body(1 << stage1_depth), carry
-    )
-    if max_depth > stage1_depth:
+    for sd in stage_depths:
         carry = jax.lax.while_loop(
-            lambda c: (c[0] < max_depth) & c[2], make_body(M), carry
+            lambda c, _sd=sd: (c[0] < _sd) & c[2], make_body(1 << sd), carry
         )
     _, node, _ = carry
     # int32 accumulation: a float32 cumsum loses integer exactness past 2^24,
