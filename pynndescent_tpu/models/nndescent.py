@@ -223,7 +223,9 @@ class NNDescent:
                     csr = _norm(csr, norm="l2")
                 nnz_max = max(1, int(np.diff(csr.indptr).max()))
                 sk = (
-                    sketch_ops.resolve(sparse_sketch, metric, csr.shape[1])
+                    sketch_ops.resolve(
+                        sparse_sketch, metric, csr.shape[1], csr.shape[0]
+                    )
                     if quantization is None and isinstance(metric, str)
                     else None
                 )
@@ -231,14 +233,15 @@ class NNDescent:
                     # hashed-projection proxy build (ops/sketch.py): dense
                     # MXU pipeline over the sketch; exact ELL rows kept for
                     # reranking every distance the API returns. Jaccard-family
-                    # metrics use a minhash value signature instead (internal
-                    # metric `hamming`: exact-compare estimator, variance
-                    # J(1-J)/h per pair).
+                    # metrics use a sign (1-bit) minhash instead: +-1 per
+                    # min-wise hash, E[s_x . s_y] = D*J, internal metric
+                    # euclidean — bf16-exact and MXU-native end to end.
                     self._ell_store = sparse_ell.csr_to_ell_packed(
                         csr, nnz_max
                     )
                     self._sketch = {
                         "kind": sk["kind"],
+                        "encode": sk.get("encode"),
                         "h": sk["h"],
                         "internal": sk["internal"],
                         "binarize": sk["binarize"],
@@ -246,14 +249,7 @@ class NNDescent:
                         "nnz": nnz_max,
                         "n_features": csr.shape[1],
                     }
-                    if sk["kind"] == "minhash":
-                        data = sketch_ops.minhash_sketch_csr(
-                            csr, sk["h"], self._sketch["seed"]
-                        )
-                    else:
-                        data = sketch_ops.sketch_csr(
-                            csr, sk["h"], self._sketch["seed"], sk["binarize"]
-                        )
+                    data = sketch_ops.sketch_rows(csr, self._sketch, 0x5EED)
                 else:
                     # wide feature space: true sparse padded-ELL kernels
                     data = sparse_ell.csr_to_ell_packed(csr, nnz_max)
@@ -310,9 +306,10 @@ class NNDescent:
             callable(metric) and self.angular_trees
         )
         if self._sketch is not None and self._sketch["kind"] == "minhash":
-            # minhash signatures are uniform random values; offset
-            # (euclidean) splits carry the coarse match structure —
-            # normalizing them for angular splits destroys it
+            # minhash signatures split with plain (offset euclidean)
+            # hyperplanes: sign vectors all share the same norm, so angular
+            # normalization is a no-op at best; for legacy value signatures
+            # it actively destroys the match structure
             self._angular_trees = False
 
 
@@ -430,6 +427,15 @@ class NNDescent:
                     shard_data=self.shard_data,
                 )
             else:
+                mc = max_candidates
+                if self._sketch is not None:
+                    # sketch joins move [b, pool, D] tiles with D in the
+                    # thousands — the candidate pool width multiplies that
+                    # directly, and proxy noise makes the tail of a wide
+                    # pool uninformative anyway. A trimmed pool keeps the
+                    # graph navigable (query over-fetches + exact-reranks)
+                    # at a fraction of the gather traffic.
+                    mc = min(max_candidates, 12) if max_candidates else max_candidates
                 idx, dist_internal = nnd_ops.nn_descent(
                     self._X,
                     self._build_k,
@@ -438,12 +444,19 @@ class NNDescent:
                     metric_kwds=self._internal_metric_kwds,
                     n_iters=n_iters,
                     delta=delta,
-                    max_candidates=max_candidates,
+                    max_candidates=mc,
                     init_graph=init_state,
                     forest=forest,
                     leaf_cap=min(leaf_size, 64),
                     block_rows=block_rows,
-                    compute_dtype=jnp.bfloat16 if build_dtype == "bfloat16" else None,
+                    # sketch builds join in bfloat16: sign-minhash +-1 is
+                    # EXACT in bf16, and the hash sketch's own estimator
+                    # noise dwarfs bf16 rounding — half the gather traffic
+                    # of the hottest loop for free (f32 rerank inside
+                    # nn_descent keeps returned proxy distances exact)
+                    compute_dtype=jnp.bfloat16
+                    if build_dtype == "bfloat16" or self._sketch is not None
+                    else None,
                     locality=self.locality,
                     verbose=verbose,
                 )
@@ -736,12 +749,24 @@ class NNDescent:
         self._search_graph = adj
         self._init_quantization()
         # bfloat16 copy for search gathers (halved HBM traffic); results are
-        # exact-reranked in query(). Disabled for bit/quantized data.
+        # exact-reranked in query(). Disabled for bit/quantized data, and for
+        # legacy VALUE-encoded minhash signatures: their hamming proxy is an
+        # exact-compare over 24-bit hash values stored as f32 — rounding the
+        # stored copy to bfloat16 while the query signatures stay exact means
+        # a true match almost never compares equal, so every proxy distance
+        # saturates at ~1.0 and the beam search goes blind (measured:
+        # query-vs-proxy recall 0.04 at 5k rows with the bf16 copy). The
+        # sign encoding is +-1 and therefore bf16-EXACT — it keeps the copy.
         if (
             self.search_dtype == "bfloat16"
             and not self._is_bit
             and self.quantization is None
             and self._ell is None  # packed indices must stay exact f32
+            and not (
+                self._sketch is not None
+                and self._sketch["kind"] == "minhash"
+                and self._sketch.get("encode", "value") == "value"
+            )
         ):
             self._X_search = self._X.astype(jnp.bfloat16)
         else:
@@ -902,15 +927,9 @@ class NNDescent:
             q_max = int(np.diff(qcsr.indptr).max(initial=1))
             qnnz = nnz if q_max <= nnz else 1 << (q_max - 1).bit_length()
             sketch_q_ell = (sparse_ell.csr_to_ell_packed(qcsr, qnnz), qnnz)
-            if self._sketch["kind"] == "minhash":
-                query_data = sketch_ops.minhash_sketch_csr(
-                    qcsr, self._sketch["h"], self._sketch["seed"]
-                )
-            else:
-                query_data = sketch_ops.sketch_csr(
-                    qcsr, self._sketch["h"], self._sketch["seed"],
-                    self._sketch["binarize"],
-                )
+            query_data = sketch_ops.sketch_rows(
+                qcsr, self._sketch, self._sketch["seed"]
+            )
         elif sparse_ops.is_sparse(query_data):
             if self._ell is not None:
                 from pynndescent_tpu.ops import sparse_ell
@@ -1002,6 +1021,13 @@ class NNDescent:
         )
         if is_proxy:
             search_k = proxy_beam_size * k
+            if self._sketch is not None:
+                # sketches are the noisiest proxies (hash: JL collision
+                # noise; minhash: variance (1-J^2)/D at the tiny J real
+                # corpora have). The 50k TF-IDF probe needs ~top-60 proxy
+                # candidates to cover >=0.97 of the true top-10, so floor
+                # the over-fetch at 6k; the rerank is ELL-exact either way
+                search_k = max(search_k, 6 * k)
         elif use_bf16 or self._ell is not None:
             # modest over-fetch: the bf16 beam may mis-rank near-ties (exact
             # rerank below recovers them); on the exact ELL path the wider
@@ -1266,15 +1292,9 @@ class NNDescent:
                     ]
                 )
                 self._ell_store_dev = None
-                if self._sketch["kind"] == "minhash":
-                    xs_fresh = sketch_ops.minhash_sketch_csr(
-                        fcsr, self._sketch["h"], self._sketch["seed"]
-                    )
-                else:
-                    xs_fresh = sketch_ops.sketch_csr(
-                        fcsr, self._sketch["h"], self._sketch["seed"],
-                        self._sketch["binarize"],
-                    )
+                xs_fresh = sketch_ops.sketch_rows(
+                    fcsr, self._sketch, self._sketch["seed"]
+                )
         data = self._raw_data
         idx, dist = self._graph_host()
         n_old, k = idx.shape
@@ -1550,11 +1570,19 @@ class NNDescent:
         self._key = jnp.asarray(state["_key"])
         if getattr(self, "_ell", None) is not None:
             self._set_ell_metric()
+        sk = getattr(self, "_sketch", None)
         if (
             getattr(self, "search_dtype", "bfloat16") == "bfloat16"
             and not getattr(self, "_is_bit", False)
             and getattr(self, "quantization", None) is None
             and getattr(self, "_ell", None) is None
+            # value-encoded minhash signatures serve at exact f32 (see
+            # prepare()); sign-encoded ones are +-1 and bf16-exact
+            and not (
+                sk is not None
+                and sk["kind"] == "minhash"
+                and sk.get("encode", "value") == "value"
+            )
         ):
             self._X_search = self._X.astype(jnp.bfloat16)
         if getattr(self, "_quantized", None) is not None:

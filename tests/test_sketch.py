@@ -65,10 +65,16 @@ def test_resolve_semantics():
         "internal": "cosine",
         "binarize": False,
     }
-    # jaccard-family metrics use a minhash value signature under hamming
+    # jaccard-family metrics use a sign (1-bit) minhash under euclidean:
+    # +-1 signs ride the MXU fast paths and are exact in bfloat16
     cfg = sketch_ops.resolve("auto", "jaccard", WIDE)
-    assert cfg["kind"] == "minhash" and cfg["internal"] == "hamming"
-    assert cfg["h"] == sketch_ops.DEFAULT_H_MINHASH
+    assert cfg["kind"] == "minhash" and cfg["encode"] == "sign"
+    assert cfg["internal"] == "euclidean"
+    assert cfg["h"] == sketch_ops.DEFAULT_D_SIGN
+    # the auto width is clamped so the [n, D] signature stays <~2.5 GB
+    big = sketch_ops.resolve("auto", "jaccard", WIDE, n_rows=1_000_000)
+    assert 2048 <= big["h"] < sketch_ops.DEFAULT_D_SIGN
+    assert big["h"] % 128 == 0
     # minhash width is a sample count — NOT clamped to n_features
     assert sketch_ops.resolve(512, "jaccard", 300)["h"] == 512
     # unsupported metric: auto silently declines, explicit width raises
@@ -110,6 +116,43 @@ def test_minhash_estimates_jaccard():
     assert float(np.max(err)) < 0.05
 
 
+def test_sign_minhash_estimates_jaccard():
+    """E[s_x . s_y] = D * J: matched minhash slots contribute +1, unmatched
+    slots an independent fair coin; variance (1 - J^2)/D per slot."""
+    rs = np.random.RandomState(3)
+    n, d, nnz = 48, WIDE, 40
+    rows = np.repeat(np.arange(n), nnz)
+    cols = rs.randint(0, 4 * nnz, n * nnz)
+    X = sparse.csr_matrix(
+        (np.ones(n * nnz, np.float32), (rows, cols)), shape=(n, d)
+    )
+    X.sum_duplicates()
+    D = 8192
+    S = sketch_ops.sign_minhash_sketch_csr(X, D, seed=5)
+    assert S.shape == (n, D) and S.dtype == np.float32
+    assert set(np.unique(S)) == {-1.0, 1.0}
+    np.testing.assert_array_equal(
+        S, sketch_ops.sign_minhash_sketch_csr(X, D, seed=5)
+    )
+    # +-1 is exactly representable in bfloat16 (the fix for the bf16-copy
+    # blindness relies on this)
+    import jax.numpy as jnp
+
+    np.testing.assert_array_equal(
+        np.asarray(jnp.asarray(S).astype(jnp.bfloat16).astype(jnp.float32)), S
+    )
+    B = X.toarray() != 0
+    inter = (B[:, None, :] & B[None, :, :]).sum(-1)
+    union = (B[:, None, :] | B[None, :, :]).sum(-1)
+    J = inter / np.maximum(union, 1)
+    J_hat = (S @ S.T) / D
+    iu = np.triu_indices(n, 1)
+    err = np.abs(J_hat - J)[iu]
+    # per-pair std is sqrt((1-J^2)/D) <= 0.011 at D=8192
+    assert float(np.mean(err)) < 0.02
+    assert float(np.max(err)) < 0.06
+
+
 def test_sketch_preserves_inner_products():
     """Signed feature hashing is the standard unbiased <x,y> estimator;
     at h=2048 the relative error on these norms is a few percent."""
@@ -134,7 +177,10 @@ def test_sketch_preserves_inner_products():
 
 def test_sketch_cosine_end_to_end():
     X = _topic_corpus(500, WIDE, nnz=24, seed=1)
-    index = NNDescent(X, metric="cosine", n_neighbors=8, random_state=42, n_trees=4)
+    index = NNDescent(
+        X, metric="cosine", n_neighbors=8, random_state=42, n_trees=4,
+        sparse_sketch=1024,  # narrow width: contract test, not a recall bench
+    )
     assert index._sketch is not None and index._ell is None  # sketch path taken
     idx, dist = index.neighbor_graph
     dense = X.toarray()
@@ -160,7 +206,10 @@ def test_sketch_cosine_end_to_end():
 
 def test_sketch_jaccard_binarized():
     X = _topic_corpus(400, WIDE, nnz=20, seed=2)
-    index = NNDescent(X, metric="jaccard", n_neighbors=8, random_state=42, n_trees=4)
+    index = NNDescent(
+        X, metric="jaccard", n_neighbors=8, random_state=42, n_trees=4,
+        sparse_sketch=2048,  # narrow width: contract test, not a recall bench
+    )
     assert index._sketch is not None and index._sketch["kind"] == "minhash"
     idx, dist = index.neighbor_graph
     # oracle: exact jaccard on binary supports
@@ -177,6 +226,36 @@ def test_sketch_jaccard_binarized():
     assert dist[i, 1] == pytest.approx(jac[i, j], rel=1e-3, abs=1e-5)
 
 
+def test_minhash_query_finds_proxy_neighbors():
+    """Regression: the minhash query path must retrieve candidates that are
+    near in PROXY (signature-hamming) space. Serving the signatures from the
+    bfloat16 search copy broke this silently — the stored 24-bit hash values
+    rounded while the query signatures stayed exact, so a true match never
+    compared equal, every proxy distance saturated at ~1.0, and the beam
+    search went blind (query-vs-proxy recall 0.04 at 5k rows; the tiny
+    corpora in the floor tests above were rescued by tree seeding + rerank,
+    which is why this needs a few thousand rows to bite)."""
+    n, nq = 4000, 150
+    X = _topic_corpus(n + nq, WIDE, nnz=24, seed=8, n_topics=40)
+    train, queries = X[:n], X[n:]
+    index = NNDescent(train, metric="jaccard", n_neighbors=10, random_state=42)
+    index.prepare()
+    assert index._sketch is not None and index._sketch["kind"] == "minhash"
+    sig_t = np.asarray(index._X)
+    sig_q = sketch_ops.sketch_rows(
+        queries.tocsr(), index._sketch, index._sketch["seed"]
+    )
+    if index._sketch.get("encode") == "sign":
+        D_proxy = -(sig_q @ sig_t.T)  # euclidean on +-1 == -dot ordering
+    else:
+        D_proxy = (sig_q[:, None, :] != sig_t[None, :, :]).mean(-1)
+    proxy10 = np.argsort(D_proxy, axis=1, kind="stable")[:, :10]
+    qidx, _ = index.query(queries, k=10, epsilon=0.3)
+    # the served ids (exact-reranked from the over-fetched proxy beam) must
+    # overlap the exact proxy top-10 far above the blind-beam level (~0.04)
+    assert _recall(np.asarray(qidx), proxy10) >= 0.5
+
+
 def test_sketch_auto_falls_back_for_unsupported_metric():
     X = _topic_corpus(120, WIDE, nnz=12, seed=3)
     X.data = np.abs(X.data)
@@ -186,7 +265,10 @@ def test_sketch_auto_falls_back_for_unsupported_metric():
 
 def test_sketch_update_append():
     X = _topic_corpus(300, WIDE, nnz=16, seed=4)
-    index = NNDescent(X, metric="cosine", n_neighbors=6, random_state=42, n_trees=3)
+    index = NNDescent(
+        X, metric="cosine", n_neighbors=6, random_state=42, n_trees=3,
+        sparse_sketch=1024,
+    )
     fresh = _topic_corpus(40, WIDE, nnz=16, seed=5)
     index.update(xs_fresh=fresh)
     idx, dist = index.neighbor_graph
@@ -201,7 +283,10 @@ def test_sketch_update_append():
 
 def test_sketch_pickle_roundtrip(tmp_path):
     X = _topic_corpus(250, WIDE, nnz=16, seed=6)
-    index = NNDescent(X, metric="cosine", n_neighbors=6, random_state=42, n_trees=3)
+    index = NNDescent(
+        X, metric="cosine", n_neighbors=6, random_state=42, n_trees=3,
+        sparse_sketch=1024,
+    )
     index.prepare()
     q = X[17:42]
     i1, d1 = index.query(q, k=5, epsilon=0.25)
