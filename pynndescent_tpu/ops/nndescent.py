@@ -1125,7 +1125,13 @@ def nn_descent(
 
     idx, dist = _jit_sort(state.idx, state.dist)
     if compute_dtype is not None:
-        idx, dist = exact_rerank_graph(X, idx, dist_rowwise=dist_rowwise)
+        # width-aware block: the rerank gathers [b, k, d] f32 tiles; the
+        # 65536 default was sized for d=128 and OOMs a 16 GB chip at a
+        # 4096-wide sparse sketch (one 50k-row block = 16 GB)
+        rb = max(1024, min(65536, (1 << 29) // max(k * X.shape[1] * 4, 1)))
+        idx, dist = exact_rerank_graph(
+            X, idx, dist_rowwise=dist_rowwise, block_rows=rb
+        )
     return idx, dist
 
 

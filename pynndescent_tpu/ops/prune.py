@@ -99,7 +99,12 @@ def diversify_all(idx, dist, X, metric, metric_kwds=None, prune_prob=1.0, key=No
     """Pure blocked diversify over all rows (fori over row blocks) — safe to
     call under an enclosing jit. Returns keep mask bool[n, k] on device."""
     n, k = idx.shape
-    b = min(block_rows, n)
+    # width-aware cap: each block gathers a [b, k, d] neighbor tile — bound
+    # it to ~512 MB so wide rows (e.g. a 4096-wide sparse sketch) don't blow
+    # HBM; shapes are static under trace so this costs nothing at runtime
+    d = X.shape[-1]
+    b_cap = max(256, (1 << 29) // max(k * d * np.dtype(X.dtype).itemsize, 1))
+    b = min(block_rows, b_cap, n)
     n_blocks = -(-n // b)
     if key is None:
         key = jax.random.PRNGKey(0)  # unused when prune_prob >= 1
